@@ -1,0 +1,168 @@
+"""High-level MASt3R inference APIs used by the SLAM layers.
+
+Functional equivalent of the reference wrapper layer (reference:
+mast3r_slam/mast3r_utils.py): mono / asymmetric / symmetric inference and the
+match entry points. One deliberate TPU redesign: the reference decodes
+symmetric keyframe pairs in a Python loop one pair at a time
+(mast3r_utils.py:83-115); here both directions of all B pairs run as a single
+batched decoder call of batch 2B, which keeps the MXU busy and is the unit
+that shards across chips (see parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mast3r_slam_tpu.models import mast3r as M
+from mast3r_slam_tpu.ops import matching
+
+
+class MASt3RInference:
+    """Holds params + config and exposes SLAM-facing inference methods."""
+
+    def __init__(self, params, cfg: M.MASt3RConfig, match_cfg: dict | None = None):
+        self.params = params
+        self.cfg = cfg
+        self.match_cfg = match_cfg or {}
+
+    # -- encoding ----------------------------------------------------------
+
+    def encode_frame(self, frame):
+        """Populate ``frame.feat`` / ``frame.pos`` (cached across calls)."""
+        if frame.feat is None:
+            feat, pos = M.encode(self.params, self.cfg, frame.img[None])
+            frame.feat = feat
+            frame.pos = pos
+        return frame.feat, frame.pos
+
+    # -- inference ---------------------------------------------------------
+
+    def inference_mono(self, frame):
+        """Self-pair decode → flattened (Xii (1, N, 3), Cii (1, N, 1))."""
+        feat, pos = self.encode_frame(frame)
+        res1, _ = M.decode_heads(
+            self.params, self.cfg, feat, pos, feat, pos, frame.img_true_shape
+        )
+        b, h, w, _ = res1["pts3d"].shape
+        X = res1["pts3d"].reshape(b, h * w, 3)
+        C = res1["conf"].reshape(b, h * w, 1)
+        return X, C
+
+    def asymmetric_inference(self, frame_i, frame_j):
+        """One decode pass i↔j. Returns stacked (X, C, D, Q) with leading dim 2:
+        index 0 = view i in frame i ("ii"), index 1 = view j in frame i ("ji")."""
+        feat_i, pos_i = self.encode_frame(frame_i)
+        feat_j, pos_j = self.encode_frame(frame_j)
+        res_ii, res_ji = M.decode_heads(
+            self.params, self.cfg, feat_i, pos_i, feat_j, pos_j,
+            frame_i.img_true_shape,
+        )
+        X = jnp.concatenate([res_ii["pts3d"], res_ji["pts3d"]], axis=0)
+        C = jnp.concatenate([res_ii["conf"], res_ji["conf"]], axis=0)
+        D = jnp.concatenate([res_ii["desc"], res_ji["desc"]], axis=0)
+        Q = jnp.concatenate([res_ii["desc_conf"], res_ji["desc_conf"]], axis=0)
+        return X, C, D, Q
+
+    def decode_symmetric_batch(self, feat_i, pos_i, feat_j, pos_j, img_hw):
+        """Both decode directions of B pairs in ONE batched call.
+
+        Returns (X, C, D, Q) each with leading dim 4 over [ii, ji, jj, ij]
+        and second dim B (matching the reference's output convention).
+        """
+        return _decode_symmetric_batch_jit(
+            self.params, self.cfg, feat_i, pos_i, feat_j, pos_j, tuple(img_hw)
+        )
+
+    # -- matching entry points --------------------------------------------
+
+    def match_asymmetric(self, frame_i, frame_j, idx_i2j_init=None):
+        """Frame-to-keyframe matching (tracking hot path).
+
+        Returns ``(idx_i2j, valid_match_j, Xii, Cii, Qii, Xji, Cji, Qji)``
+        with pointmaps flattened to (1, N, ...) as the SLAM core expects.
+        """
+        X, C, D, Q = self.asymmetric_inference(frame_i, frame_j)
+        b = 1
+        h, w = X.shape[1:3]
+        Xii, Xji = X[:b], X[b:]
+        Dii, Dji = D[:b], D[b:]
+
+        idx_i2j, valid_match_j = matching.match(
+            Xii, Xji, Dii, Dji, idx_1_to_2_init=idx_i2j_init, **self._match_kw()
+        )
+
+        n = h * w
+        flatten = lambda a: a.reshape(2, n, -1)
+        Xf = flatten(X)
+        Cf = flatten(C)
+        Qf = flatten(Q)
+        return (
+            idx_i2j,
+            valid_match_j,
+            Xf[0][None], Cf[0][None], Qf[0][None],
+            Xf[1][None], Cf[1][None], Qf[1][None],
+        )
+
+    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, img_hw):
+        """Symmetric matching for B keyframe pairs (backend edge creation).
+
+        Returns ``(idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij)``
+        — reference mast3r_utils.py:142-180 semantics.
+        """
+        X, C, D, Q = self.decode_symmetric_batch(feat_i, pos_i, feat_j, pos_j, img_hw)
+        b = X.shape[1]
+        Xii, Xji, Xjj, Xij = X[0], X[1], X[2], X[3]
+        Dii, Dji, Djj, Dij = D[0], D[1], D[2], D[3]
+        Qii, Qji, Qjj, Qij = Q[0], Q[1], Q[2], Q[3]
+
+        # Both matching directions in one batched matcher call.
+        X11 = jnp.concatenate([Xii, Xjj], axis=0)
+        X21 = jnp.concatenate([Xji, Xij], axis=0)
+        D11 = jnp.concatenate([Dii, Djj], axis=0)
+        D21 = jnp.concatenate([Dji, Dij], axis=0)
+        idx_1_to_2, valid_match_2 = matching.match(
+            X11, X21, D11, D21, **self._match_kw()
+        )
+
+        idx_i2j = idx_1_to_2[:b]
+        idx_j2i = idx_1_to_2[b:]
+        valid_j = valid_match_2[:b]
+        valid_i = valid_match_2[b:]
+        n = Xii.shape[1] * Xii.shape[2]
+        return (
+            idx_i2j, idx_j2i, valid_j, valid_i,
+            Qii.reshape(b, n, 1), Qjj.reshape(b, n, 1),
+            Qji.reshape(b, n, 1), Qij.reshape(b, n, 1),
+        )
+
+    def _match_kw(self):
+        c = self.match_cfg
+        return dict(
+            max_iter=int(c.get("max_iter", 10)),
+            lambda_init=float(c.get("lambda_init", 1e-8)),
+            convergence_thresh=float(c.get("convergence_thresh", 1e-6)),
+            dist_thresh=float(c.get("dist_thresh", 0.1)),
+            radius=int(c.get("radius", 3)),
+            dilation_max=int(c.get("dilation_max", 5)),
+        )
+
+
+@partial(jax.jit, static_argnames=("cfg", "img_hw"))
+def _decode_symmetric_batch_jit(params, cfg, feat_i, pos_i, feat_j, pos_j, img_hw):
+    """(B, N, C) features → stacked [ii, ji, jj, ij] head outputs, one decode."""
+    f1 = jnp.concatenate([feat_i, feat_j], axis=0)   # sources
+    f2 = jnp.concatenate([feat_j, feat_i], axis=0)   # cross streams
+    p1 = jnp.concatenate([pos_i, pos_j], axis=0)
+    p2 = jnp.concatenate([pos_j, pos_i], axis=0)
+    res1, res2 = M.decode_heads(params, cfg, f1, p1, f2, p2, img_hw)
+    b = feat_i.shape[0]
+
+    def stack(key):
+        a1 = res1[key]   # [11 (B); 22 (B)]
+        a2 = res2[key]   # [21 (B); 12 (B)]
+        return jnp.stack([a1[:b], a2[:b], a1[b:], a2[b:]], axis=0)
+
+    return stack("pts3d"), stack("conf"), stack("desc"), stack("desc_conf")

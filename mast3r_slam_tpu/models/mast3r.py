@@ -1,0 +1,458 @@
+"""MASt3R two-view 3D-reconstruction transformer, TPU-native JAX.
+
+From-scratch implementation of the architecture used by the reference SLAM
+system (reference: thirdparty/mast3r + dust3r + croco; see SURVEY.md §2.4):
+
+- ViT-Large encoder: 16x16 patchify → 24 pre-LN blocks (dim 1024, 16 heads)
+  with 2D rotary position embedding (RoPE, base 100) on q/k, final LN.
+- Two cross-attention decoders (12 blocks each, dim 768, 12 heads): each block
+  is self-attn → cross-attn to the *other* image's tokens → MLP; the two
+  streams run interleaved, and all intermediate outputs feed the heads.
+- Heads (per view): a DPT pyramid over decoder hooks [0, 6, 9, 12] producing
+  pts3d+conf, plus an MLP over concat(enc, dec) tokens pixel-shuffled to
+  per-pixel 24-dim descriptors + descriptor confidence.
+- Postprocess: pts3d ``exp`` mode (unit direction * expm1(norm)), confidences
+  ``1 + exp(x)``, descriptors L2-normalized.
+
+Everything is a pure function over a parameter pytree; ``two_view_infer`` is
+the jittable flagship entry point. RoPE replaces the reference's cuRoPE2D CUDA
+kernel (thirdparty/.../curope) with a few fused elementwise ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mast3r_slam_tpu.models import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class MASt3RConfig:
+    # ViT-Large encoder / base decoder — the released MASt3R checkpoint config.
+    patch_size: int = 16
+    enc_embed_dim: int = 1024
+    enc_depth: int = 24
+    enc_num_heads: int = 16
+    dec_embed_dim: int = 768
+    dec_depth: int = 12
+    dec_num_heads: int = 12
+    mlp_ratio: int = 4
+    rope_base: float = 100.0
+    desc_dim: int = 24
+    two_confs: bool = True
+    # DPT head
+    dpt_feature_dim: int = 256
+    dpt_last_dim: int = 128
+    dpt_layer_dims: tuple = (96, 192, 384, 768)
+    # compute dtype for the transformer trunk (heads always run f32)
+    dtype: str = "bfloat16"
+
+    @property
+    def dpt_hooks(self):
+        d = self.dec_depth
+        return (0, d * 2 // 4, d * 3 // 4, d)
+
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+def tiny_config(**kw) -> MASt3RConfig:
+    """A small config for tests (same topology, tiny dims)."""
+    defaults = dict(
+        enc_embed_dim=64, enc_depth=2, enc_num_heads=2,
+        dec_embed_dim=48, dec_depth=4, dec_num_heads=2,
+        dpt_feature_dim=32, dpt_last_dim=16, dpt_layer_dims=(8, 12, 16, 24),
+        desc_dim=8, dtype="float32",
+    )
+    defaults.update(kw)
+    return MASt3RConfig(**defaults)
+
+
+# ---------------------------------------------------------------------------
+# RoPE 2D
+# ---------------------------------------------------------------------------
+
+def rope_2d(tokens, positions, base=100.0):
+    """Apply 2D rotary embedding to per-head tokens.
+
+    ``tokens (B, H, N, D)`` with D divisible by 4; ``positions (B, N, 2)``
+    holding integer (y, x) patch coordinates. The first D/2 channels rotate by
+    the y coordinate, the last D/2 by x; within each half, rotate-half pairing
+    is between the first and second quarters (reference:
+    croco/models/pos_embed.py:112-159).
+    """
+    b, h, n, d = tokens.shape
+    half = d // 2
+    quarter = half // 2
+    inv_freq = 1.0 / (base ** (jnp.arange(0, quarter, dtype=jnp.float32) * 2.0 / half))
+
+    def one_axis(tok, pos1d):
+        # tok (B, H, N, half); pos1d (B, N)
+        freqs = pos1d[:, None, :, None].astype(jnp.float32) * inv_freq  # (B,1,N,q)
+        cos = jnp.cos(freqs).astype(tok.dtype)
+        sin = jnp.sin(freqs).astype(tok.dtype)
+        cos2 = jnp.concatenate([cos, cos], axis=-1)
+        sin2 = jnp.concatenate([sin, sin], axis=-1)
+        t1 = tok[..., :quarter]
+        t2 = tok[..., quarter:]
+        rot = jnp.concatenate([-t2, t1], axis=-1)
+        return tok * cos2 + rot * sin2
+
+    ty = one_axis(tokens[..., :half], positions[..., 0])
+    tx = one_axis(tokens[..., half:], positions[..., 1])
+    return jnp.concatenate([ty, tx], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Attention blocks
+# ---------------------------------------------------------------------------
+
+def _split_heads(x, n_heads):
+    b, n, d = x.shape
+    return x.reshape(b, n, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, n, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+
+
+def attention(q, k, v):
+    """Plain softmax attention; logits/softmax accumulate in f32."""
+    dh = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (1.0 / math.sqrt(dh))
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def self_attn(p, x, pos, n_heads, rope_base):
+    qkv = L.linear(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, n_heads)
+    k = _split_heads(k, n_heads)
+    v = _split_heads(v, n_heads)
+    q = rope_2d(q, pos, rope_base)
+    k = rope_2d(k, pos, rope_base)
+    out = _merge_heads(attention(q, k, v))
+    return L.linear(p["proj"], out)
+
+
+def cross_attn(p, x, mem, xpos, mpos, n_heads, rope_base):
+    q = _split_heads(L.linear(p["q"], x), n_heads)
+    k = _split_heads(L.linear(p["k"], mem), n_heads)
+    v = _split_heads(L.linear(p["v"], mem), n_heads)
+    q = rope_2d(q, xpos, rope_base)
+    k = rope_2d(k, mpos, rope_base)
+    out = _merge_heads(attention(q, k, v))
+    return L.linear(p["proj"], out)
+
+
+def encoder_block(p, x, pos, n_heads, rope_base):
+    x = x + self_attn(p["attn"], L.layernorm(p["norm1"], x), pos, n_heads, rope_base)
+    x = x + L.mlp(p["mlp"], L.layernorm(p["norm2"], x))
+    return x
+
+
+def decoder_block(p, x, mem, xpos, mpos, n_heads, rope_base):
+    x = x + self_attn(p["attn"], L.layernorm(p["norm1"], x), xpos, n_heads, rope_base)
+    mem_n = L.layernorm(p["norm_y"], mem)
+    x = x + cross_attn(
+        p["cross"], L.layernorm(p["norm2"], x), mem_n, xpos, mpos, n_heads, rope_base
+    )
+    x = x + L.mlp(p["mlp"], L.layernorm(p["norm3"], x))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+def _init_attn(key, dim):
+    k1, k2 = jax.random.split(key)
+    return {"qkv": L.init_linear(k1, dim, 3 * dim), "proj": L.init_linear(k2, dim, dim)}
+
+
+def _init_cross(key, dim):
+    ks = jax.random.split(key, 4)
+    return {
+        "q": L.init_linear(ks[0], dim, dim),
+        "k": L.init_linear(ks[1], dim, dim),
+        "v": L.init_linear(ks[2], dim, dim),
+        "proj": L.init_linear(ks[3], dim, dim),
+    }
+
+
+def _init_mlp(key, dim, hidden):
+    k1, k2 = jax.random.split(key)
+    return {"fc1": L.init_linear(k1, dim, hidden), "fc2": L.init_linear(k2, hidden, dim)}
+
+
+def _init_enc_block(key, dim, mlp_ratio):
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm1": L.init_layernorm(dim),
+        "attn": _init_attn(k1, dim),
+        "norm2": L.init_layernorm(dim),
+        "mlp": _init_mlp(k2, dim, dim * mlp_ratio),
+    }
+
+
+def _init_dec_block(key, dim, mlp_ratio):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "norm1": L.init_layernorm(dim),
+        "attn": _init_attn(k1, dim),
+        "norm2": L.init_layernorm(dim),
+        "norm_y": L.init_layernorm(dim),
+        "cross": _init_cross(k2, dim),
+        "norm3": L.init_layernorm(dim),
+        "mlp": _init_mlp(k3, dim, dim * mlp_ratio),
+    }
+
+
+def _init_dpt(key, cfg: MASt3RConfig, num_channels: int):
+    """DPT pyramid params (hook adapters + fusion + regression head)."""
+    ks = iter(jax.random.split(key, 32))
+    ld = cfg.dpt_layer_dims
+    fd = cfg.dpt_feature_dim
+    hook_dims = (cfg.enc_embed_dim,) + (cfg.dec_embed_dim,) * 3
+    p = {}
+    # act_postprocess: per-hook projection (+ resize conv)
+    p["act0_conv"] = L.init_conv(next(ks), 1, 1, hook_dims[0], ld[0])
+    p["act0_up"] = L.init_conv(next(ks), 4, 4, ld[0], ld[0])  # convT k4 s4
+    p["act1_conv"] = L.init_conv(next(ks), 1, 1, hook_dims[1], ld[1])
+    p["act1_up"] = L.init_conv(next(ks), 2, 2, ld[1], ld[1])  # convT k2 s2
+    p["act2_conv"] = L.init_conv(next(ks), 1, 1, hook_dims[2], ld[2])
+    p["act3_conv"] = L.init_conv(next(ks), 1, 1, hook_dims[3], ld[3])
+    p["act3_down"] = L.init_conv(next(ks), 3, 3, ld[3], ld[3])  # conv s2
+    # layer_rn: 3x3 no-bias projections to feature_dim
+    for i in range(4):
+        p[f"rn{i}"] = L.init_conv(next(ks), 3, 3, ld[i], fd, bias=False)
+    # refinenets 1..4, each: rcu1 (2 convs), rcu2 (2 convs), out_conv 1x1
+    for i in range(1, 5):
+        p[f"ref{i}"] = {
+            "rcu1_c1": L.init_conv(next(ks), 3, 3, fd, fd),
+            "rcu1_c2": L.init_conv(next(ks), 3, 3, fd, fd),
+            "rcu2_c1": L.init_conv(next(ks), 3, 3, fd, fd),
+            "rcu2_c2": L.init_conv(next(ks), 3, 3, fd, fd),
+            "out": L.init_conv(next(ks), 1, 1, fd, fd),
+        }
+    # regression head: conv3 → (x2 bilinear) → conv3 → relu → conv1
+    p["head_c1"] = L.init_conv(next(ks), 3, 3, fd, fd // 2)
+    p["head_c2"] = L.init_conv(next(ks), 3, 3, fd // 2, cfg.dpt_last_dim)
+    p["head_c3"] = L.init_conv(next(ks), 1, 1, cfg.dpt_last_dim, num_channels)
+    return p
+
+
+def init_params(key, cfg: MASt3RConfig):
+    """Random-init full parameter pytree (shapes match the converted checkpoint)."""
+    ks = iter(jax.random.split(key, 16))
+    params = {
+        "patch_embed": L.init_conv(
+            next(ks), cfg.patch_size, cfg.patch_size, 3, cfg.enc_embed_dim
+        ),
+        "enc_blocks": [
+            _init_enc_block(k, cfg.enc_embed_dim, cfg.mlp_ratio)
+            for k in jax.random.split(next(ks), cfg.enc_depth)
+        ],
+        "enc_norm": L.init_layernorm(cfg.enc_embed_dim),
+        "decoder_embed": L.init_linear(next(ks), cfg.enc_embed_dim, cfg.dec_embed_dim),
+        "dec_blocks": [
+            _init_dec_block(k, cfg.dec_embed_dim, cfg.mlp_ratio)
+            for k in jax.random.split(next(ks), cfg.dec_depth)
+        ],
+        "dec_blocks2": [
+            _init_dec_block(k, cfg.dec_embed_dim, cfg.mlp_ratio)
+            for k in jax.random.split(next(ks), cfg.dec_depth)
+        ],
+        "dec_norm": L.init_layernorm(cfg.dec_embed_dim),
+    }
+    idim = cfg.enc_embed_dim + cfg.dec_embed_dim
+    out_feats = (cfg.desc_dim + int(cfg.two_confs)) * cfg.patch_size**2
+    for h in ("head1", "head2"):
+        params[h] = {
+            "dpt": _init_dpt(next(ks), cfg, num_channels=4),
+            "local_feat": _init_mlp(next(ks), idim, 4 * idim),
+        }
+        # local-features MLP output layer has a distinct out dim
+        k_out = next(ks)
+        params[h]["local_feat"]["fc2"] = L.init_linear(k_out, 4 * idim, out_feats)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+def patch_positions(hp, wp, batch):
+    """Integer (y, x) coordinates for an hp x wp patch grid → (B, N, 2)."""
+    y = jnp.arange(hp, dtype=jnp.int32)
+    x = jnp.arange(wp, dtype=jnp.int32)
+    yy, xx = jnp.meshgrid(y, x, indexing="ij")
+    pos = jnp.stack([yy, xx], axis=-1).reshape(1, hp * wp, 2)
+    return jnp.broadcast_to(pos, (batch, hp * wp, 2))
+
+
+def encode_image(params, cfg: MASt3RConfig, img):
+    """Encode ``img (B, H, W, 3)`` (ImgNorm'd to [-1, 1]) → (feat (B,N,C), pos).
+
+    Equivalent of the reference ``model._encode_image`` (dust3r/model.py:127-139).
+    """
+    dt = cfg.compute_dtype()
+    b, h, w, _ = img.shape
+    x = L.conv2d(params["patch_embed"], img.astype(dt), stride=cfg.patch_size,
+                 padding="VALID")
+    hp, wp = h // cfg.patch_size, w // cfg.patch_size
+    x = x.reshape(b, hp * wp, cfg.enc_embed_dim)
+    pos = patch_positions(hp, wp, b)
+    for blk in params["enc_blocks"]:
+        x = encoder_block(blk, x, pos, cfg.enc_num_heads, cfg.rope_base)
+    x = L.layernorm(params["enc_norm"], x)
+    return x.astype(jnp.float32), pos
+
+
+def decode_pair(params, cfg: MASt3RConfig, feat1, pos1, feat2, pos2):
+    """Run the interleaved dual-decoder; returns per-stream hook activations.
+
+    Output: two lists of ``len(dpt_hooks)`` token tensors (f32) — entry 0 is
+    the encoder output, later entries are decoder blocks at the hook depths,
+    with the final entry LayerNorm'd (reference dust3r/model.py:171-190).
+    """
+    dt = cfg.compute_dtype()
+    hooks = set(cfg.dpt_hooks)
+    f1 = L.linear(params["decoder_embed"], feat1.astype(dt))
+    f2 = L.linear(params["decoder_embed"], feat2.astype(dt))
+    out1 = [feat1]
+    out2 = [feat2]
+    depth = cfg.dec_depth
+    for i, (b1, b2) in enumerate(zip(params["dec_blocks"], params["dec_blocks2"])):
+        f1n = decoder_block(b1, f1, f2, pos1, pos2, cfg.dec_num_heads, cfg.rope_base)
+        f2n = decoder_block(b2, f2, f1, pos2, pos1, cfg.dec_num_heads, cfg.rope_base)
+        f1, f2 = f1n, f2n
+        if (i + 1) in hooks or (i + 1) == depth:
+            if (i + 1) == depth:
+                out1.append(L.layernorm(params["dec_norm"], f1).astype(jnp.float32))
+                out2.append(L.layernorm(params["dec_norm"], f2).astype(jnp.float32))
+            else:
+                out1.append(f1.astype(jnp.float32))
+                out2.append(f2.astype(jnp.float32))
+    return out1, out2
+
+
+def _residual_conv_unit(p1, p2, x):
+    y = L.conv2d(p1, jax.nn.relu(x))
+    y = L.conv2d(p2, jax.nn.relu(y))
+    return x + y
+
+
+def _fusion_block(p, x, skip=None):
+    if skip is not None:
+        x = x + _residual_conv_unit(p["rcu1_c1"], p["rcu1_c2"], skip)
+    x = _residual_conv_unit(p["rcu2_c1"], p["rcu2_c2"], x)
+    b, h, w, c = x.shape
+    x = L.interpolate_bilinear(x, (2 * h, 2 * w), align_corners=True)
+    return L.conv2d(p["out"], x)
+
+
+def dpt_head(p, hook_feats, img_hw, patch_size):
+    """DPT multi-scale fusion over the 4 hook activations → (B, H, W, 4)."""
+    H, W = img_hw
+    nh, nw = H // patch_size, W // patch_size
+    t0, t1, t2, t3 = [
+        t.reshape(t.shape[0], nh, nw, t.shape[-1]) for t in hook_feats
+    ]
+    l0 = L.conv2d_transpose(p["act0_up"], L.conv2d(p["act0_conv"], t0), 4)
+    l1 = L.conv2d_transpose(p["act1_up"], L.conv2d(p["act1_conv"], t1), 2)
+    l2 = L.conv2d(p["act2_conv"], t2)
+    # stride-2 k3 needs explicit (1, 1) padding to match torch (SAME would pad
+    # asymmetrically at even sizes and shift the result)
+    l3 = L.conv2d(
+        p["act3_down"], L.conv2d(p["act3_conv"], t3), stride=2, padding=[(1, 1), (1, 1)]
+    )
+    l0 = L.conv2d(p["rn0"], l0)
+    l1 = L.conv2d(p["rn1"], l1)
+    l2 = L.conv2d(p["rn2"], l2)
+    l3 = L.conv2d(p["rn3"], l3)
+    path4 = _fusion_block(p["ref4"], l3)[:, : l2.shape[1], : l2.shape[2]]
+    path3 = _fusion_block(p["ref3"], path4, l2)
+    path2 = _fusion_block(p["ref2"], path3, l1)
+    path1 = _fusion_block(p["ref1"], path2, l0)
+    x = L.conv2d(p["head_c1"], path1)
+    b, h, w, c = x.shape
+    x = L.interpolate_bilinear(x, (2 * h, 2 * w), align_corners=True)
+    x = jax.nn.relu(L.conv2d(p["head_c2"], x))
+    return L.conv2d(p["head_c3"], x)
+
+
+def downstream_head(p, cfg: MASt3RConfig, dec_out, img_hw):
+    """Full per-view head: DPT pts3d+conf, MLP descriptors, postprocess.
+
+    ``dec_out``: hook activations from :func:`decode_pair` (f32).
+    Returns dict with ``pts3d (B,H,W,3)``, ``conf (B,H,W)``, ``desc (B,H,W,D)``,
+    ``desc_conf (B,H,W)``.
+    """
+    H, W = img_hw
+    ps = cfg.patch_size
+    raw = dpt_head(p["dpt"], dec_out, img_hw, ps)  # (B, H, W, 4)
+
+    cat = jnp.concatenate([dec_out[0], dec_out[-1]], axis=-1)
+    local = L.mlp(p["local_feat"], cat)  # (B, N, (D+1)*ps^2)
+    b, n, _ = local.shape
+    local = local.reshape(b, H // ps, W // ps, -1)
+    local = L.pixel_shuffle(local, ps)  # (B, H, W, D+two_confs)
+
+    out = jnp.concatenate([raw, local], axis=-1)
+    return postprocess(out, cfg.desc_dim, cfg.two_confs)
+
+
+def postprocess(fmap, desc_dim, two_confs):
+    """Regression-head activations (reference dust3r heads/postprocess.py:22-58,
+    mast3r/catmlp_dpt_head.py:17-39): exp-mode depth, 1+exp conf, L2 desc."""
+    xyz = fmap[..., 0:3]
+    d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    pts3d = xyz / jnp.clip(d, 1e-8) * jnp.expm1(d)
+    conf = 1.0 + jnp.exp(jnp.clip(fmap[..., 3], -50.0, 50.0))
+    desc = fmap[..., 4 : 4 + desc_dim]
+    desc = desc / jnp.clip(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
+    if two_confs:
+        desc_conf = 1.0 + jnp.exp(jnp.clip(fmap[..., 4 + desc_dim], -50.0, 50.0))
+    else:
+        desc_conf = conf
+    return {"pts3d": pts3d, "conf": conf, "desc": desc, "desc_conf": desc_conf}
+
+
+# ---------------------------------------------------------------------------
+# Two-view inference APIs (functional equivalents of mast3r_utils.py wrappers)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "img_hw"))
+def decode_heads(params, cfg: MASt3RConfig, feat1, pos1, feat2, pos2, img_hw):
+    """Decoder + both heads for an (i, j) feature pair → (res1, res2)."""
+    d1, d2 = decode_pair(params, cfg, feat1, pos1, feat2, pos2)
+    res1 = downstream_head(params["head1"], cfg, d1, img_hw)
+    res2 = downstream_head(params["head2"], cfg, d2, img_hw)
+    return res1, res2
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode(params, cfg: MASt3RConfig, img):
+    return encode_image(params, cfg, img)
+
+
+def two_view_infer(params, cfg: MASt3RConfig, img1, img2):
+    """Flagship convenience entry: encode both images + one decode pass.
+
+    Returns (res1, res2) in view 1's frame — the asymmetric inference used by
+    frame-to-keyframe tracking.
+    """
+    feat1, pos1 = encode(params, cfg, img1)
+    feat2, pos2 = encode(params, cfg, img2)
+    img_hw = (img1.shape[1], img1.shape[2])
+    return decode_heads(params, cfg, feat1, pos1, feat2, pos2, img_hw)

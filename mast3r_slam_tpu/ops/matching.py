@@ -1,0 +1,215 @@
+"""Iterative-projection pointmap matching, TPU-native.
+
+Replaces the reference's two CUDA kernels (mast3r_slam/backend/src/
+matching_kernels.cu: ``iter_proj_kernel`` :119-275 and
+``refine_matches_kernel`` :26-81) and their Python driver
+(mast3r_slam/matching.py) with fully-vectorized jittable JAX: all pixels carry
+a fixed ``max_iter`` Levenberg-Marquardt loop (`lax.fori_loop` + masked
+accept/reject — the same schedule the CUDA kernel runs per-thread), and the
+coarse-to-fine descriptor refinement is expressed as windowed gathers +
+batched dot products so the contraction lands on the MXU in bf16.
+
+Semantics parity notes:
+- LM solves the 2x2 normal equations of ``min_p || normalize(bilerp(rays, p)) - r* ||^2``
+  using the raw channel gradients as Jacobian, with multiplicative damping
+  (x0.1 on accept, x10 on reject) and border clamping to ``[1, W-2] x [1, H-2]``.
+- ``converged`` is the last iteration's cost test against ``convergence_thresh``.
+- Occlusion rejection: 3D distance between matched points > ``dist_thresh``.
+- Refinement searches a dilated square window (dilation ``d = dilation_max..1``,
+  radius ``radius*d``, stride ``d``) maximizing descriptor dot product,
+  re-centering between dilation levels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mast3r_slam_tpu.ops.image import img_gradient
+
+
+def pixel_to_lin(p, w):
+    """(u, v) integer pixel coords → linear index ``u + w*v``."""
+    return p[..., 0] + w * p[..., 1]
+
+
+def lin_to_pixel(idx, w):
+    return jnp.stack([idx % w, idx // w], axis=-1)
+
+
+def _sample_rays(rays9, u, v):
+    """Bilinear sample the 9-channel ray+gradient image at (u, v) batches.
+
+    ``rays9 (H, W, 9)``; u, v ``(N,)`` pre-clamped to [1, W-2]/[1, H-2].
+    Returns ``(N, 9)``.
+    """
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    du = (u - u0.astype(u.dtype))[:, None]
+    dv = (v - v0.astype(v.dtype))[:, None]
+    p00 = rays9[v0, u0]
+    p01 = rays9[v0, u0 + 1]
+    p10 = rays9[v0 + 1, u0]
+    p11 = rays9[v0 + 1, u0 + 1]
+    top = p00 * (1.0 - du) + p01 * du
+    bot = p10 * (1.0 - du) + p11 * du
+    return top * (1.0 - dv) + bot * dv
+
+
+def _ray_cost(rays9, u, v, target):
+    """Unit-ray alignment cost at (u, v); also returns the raw sample."""
+    s = _sample_rays(rays9, u, v)
+    r = s[:, 0:3]
+    r = r * lax.rsqrt(jnp.sum(r * r, axis=-1, keepdims=True))
+    err = r - target
+    return jnp.sum(err * err, axis=-1), s, err
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _iter_proj_single(rays9, pts_norm, p_init, max_iter, lambda_init, cost_thresh):
+    """LM projection for one image: ``rays9 (H, W, 9)``, ``pts_norm (N, 3)``."""
+    h, w, _ = rays9.shape
+    u = jnp.clip(p_init[:, 0], 1.0, w - 2.0)
+    v = jnp.clip(p_init[:, 1], 1.0, h - 2.0)
+    lam = jnp.full(u.shape, lambda_init, dtype=u.dtype)
+    conv = jnp.zeros(u.shape, dtype=bool)
+
+    def body(_, state):
+        u, v, lam, conv = state
+        cost, s, err = _ray_cost(rays9, u, v, pts_norm)
+        gx = s[:, 3:6]
+        gy = s[:, 6:9]
+        # 2x2 J^T J (+ LM damping) and -J^T r from the channel gradients
+        a00 = jnp.sum(gx * gx, axis=-1) + lam
+        a01 = jnp.sum(gx * gy, axis=-1)
+        a11 = jnp.sum(gy * gy, axis=-1) + lam
+        b0 = -jnp.sum(err * gx, axis=-1)
+        b1 = -jnp.sum(err * gy, axis=-1)
+        det_inv = 1.0 / (a00 * a11 - a01 * a01)
+        du = det_inv * (a11 * b0 - a01 * b1)
+        dv = det_inv * (-a01 * b0 + a00 * b1)
+
+        u_new = jnp.clip(u + du, 1.0, w - 2.0)
+        v_new = jnp.clip(v + dv, 1.0, h - 2.0)
+        new_cost, _, _ = _ray_cost(rays9, u_new, v_new, pts_norm)
+
+        accept = new_cost < cost
+        u = jnp.where(accept, u_new, u)
+        v = jnp.where(accept, v_new, v)
+        lam = jnp.where(accept, lam * 0.1, lam * 10.0)
+        conv = jnp.where(accept, new_cost < cost_thresh, cost < cost_thresh)
+        return u, v, lam, conv
+
+    u, v, lam, conv = lax.fori_loop(0, max_iter, body, (u, v, lam, conv))
+    return jnp.stack([u, v], axis=-1), conv
+
+
+def iter_proj(rays_with_grad, pts_norm, p_init, max_iter=10, lambda_init=1e-8,
+              cost_thresh=1e-6):
+    """Batched LM projection. ``rays_with_grad (B, H, W, 9)``, ``pts_norm (B, N, 3)``,
+    ``p_init (B, N, 2)`` → ``(p (B, N, 2) float, converged (B, N) bool)``."""
+    fn = jax.vmap(
+        lambda r, p, pi: _iter_proj_single(
+            r, p, pi, max_iter, lambda_init, cost_thresh
+        )
+    )
+    return fn(rays_with_grad, pts_norm, p_init)
+
+
+def _window_offsets(radius: int, dilation: int):
+    """Static (K, 2) integer offsets of the dilated square search window."""
+    rng = jnp.arange(-radius, radius + 1) * dilation
+    du, dv = jnp.meshgrid(rng, rng, indexing="xy")
+    return jnp.stack([du.ravel(), dv.ravel()], axis=-1)  # (K, 2)
+
+
+@partial(jax.jit, static_argnames=("radius", "dilation_max"))
+def refine_matches(D11, D21, p1, radius=3, dilation_max=5):
+    """Coarse-to-fine descriptor-similarity refinement of integer matches.
+
+    ``D11 (B, H, W, F)`` target descriptor image; ``D21 (B, N, F)`` query
+    descriptors; ``p1 (B, N, 2)`` integer initial matches. Returns refined
+    ``(B, N, 2)`` integer positions. Descriptor dots run in bf16 (the
+    reference uses fp16 — matching.py:78-85).
+    """
+    b, h, w, f = D11.shape
+    D11h = D11.astype(jnp.bfloat16)
+    D21h = D21.astype(jnp.bfloat16)
+
+    def level(p, dilation):
+        offs = _window_offsets(radius, dilation)  # (K, 2)
+        cand = p[:, :, None, :] + offs[None, None, :, :]  # (B, N, K, 2)
+        cu = cand[..., 0]
+        cv = cand[..., 1]
+        inside = (cu >= 0) & (cu < w) & (cv >= 0) & (cv < h)
+        cu_c = jnp.clip(cu, 0, w - 1)
+        cv_c = jnp.clip(cv, 0, h - 1)
+        # Gather window descriptors and contract against the query.
+        gathered = jax.vmap(lambda img, vv, uu: img[vv, uu])(
+            D11h, cv_c, cu_c
+        )  # (B, N, K, F)
+        scores = jnp.einsum(
+            "bnkf,bnf->bnk", gathered, D21h, preferred_element_type=jnp.float32
+        )
+        scores = jnp.where(inside, scores, -jnp.inf)
+        best = jnp.argmax(scores, axis=-1)  # (B, N)
+        off_best = offs[best]  # (B, N, 2)
+        return p + off_best
+
+    for d in range(dilation_max, 0, -1):
+        p1 = level(p1, d)
+    return p1
+
+
+def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
+    """Build the 9-channel ray image, normalized targets, and init pixels.
+
+    ``X11, X21 (B, H, W, 3)``. Mirrors reference matching.py:25-49.
+    """
+    b, h, w, _ = X11.shape
+    rays = X11 * lax.rsqrt(
+        jnp.clip(jnp.sum(X11 * X11, axis=-1, keepdims=True), 1e-24)
+    )
+    gx, gy = img_gradient(rays)
+    rays9 = jnp.concatenate([rays, gx, gy], axis=-1)  # (B, H, W, 9)
+
+    X21v = X21.reshape(b, h * w, 3)
+    pts_norm = X21v * lax.rsqrt(
+        jnp.clip(jnp.sum(X21v * X21v, axis=-1, keepdims=True), 1e-24)
+    )
+
+    if idx_1_to_2_init is None:
+        idx_1_to_2_init = jnp.broadcast_to(jnp.arange(h * w)[None], (b, h * w))
+    p_init = lin_to_pixel(idx_1_to_2_init, w).astype(X11.dtype)
+    return rays9, pts_norm, p_init
+
+
+def match(X11, X21, D11, D21, idx_1_to_2_init=None, *, max_iter=10,
+          lambda_init=1e-8, convergence_thresh=1e-6, dist_thresh=0.1,
+          radius=3, dilation_max=5):
+    """Full matching pipeline: LM projection + occlusion gate + refinement.
+
+    Returns ``(idx_1_to_2 (B, N) int32, valid (B, N, 1) bool)`` where N = H*W:
+    for each pixel of image 2's pointmap-in-frame-1, the linear index of its
+    correspondence in image 1.
+    """
+    b, h, w, _ = X21.shape
+    rays9, pts_norm, p_init = prep_for_iter_proj(X11, X21, idx_1_to_2_init)
+    p1, converged = iter_proj(
+        rays9, pts_norm, p_init, max_iter, lambda_init, convergence_thresh
+    )
+    p1 = jnp.floor(p1).astype(jnp.int32)
+
+    # Occlusion gate: matched 3D points must be close in 3D space.
+    matched = jax.vmap(lambda img, p: img[p[:, 1], p[:, 0]])(X11, p1.reshape(b, -1, 2))
+    dists = jnp.linalg.norm(matched - X21.reshape(b, -1, 3), axis=-1)
+    valid = converged & (dists < dist_thresh)
+
+    if radius > 0:
+        p1 = refine_matches(D11, D21.reshape(b, h * w, -1), p1, radius, dilation_max)
+
+    idx = pixel_to_lin(p1, w)
+    return idx, valid[..., None]

@@ -1,0 +1,149 @@
+"""Pointmap quality assessment — pure jittable tensor core.
+
+Capability parity with the reference quality core (reference:
+mast3r_slam/quality_core.py): per-keyframe 16x16-patch-grid reductions of
+residuals / uncertainty / coverage, EWMA coverage deltas, robust z-scores, and
+a 3-way degradation classification with normalized refinement priorities.
+
+Redesigned for TPU: the whole per-keyframe computation is ONE jitted function
+over fixed (H, W); masked nan-median reductions are expressed as sort-based
+masked medians (no data-dependent shapes). Batch processing is a vmap.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _to_grid(x, ps):
+    """(H, W) → (gh, gw, ps*ps) patch grid."""
+    h, w = x.shape
+    gh, gw = h // ps, w // ps
+    x = x[: gh * ps, : gw * ps].reshape(gh, ps, gw, ps)
+    return x.transpose(0, 2, 1, 3).reshape(gh, gw, ps * ps), gh, gw
+
+
+def masked_median(x, mask):
+    """Median over the last axis counting only ``mask`` entries (0 if none).
+
+    Sort-based: invalid entries are pushed to +inf, then the median of the k
+    valid entries is the average of elements (k-1)//2 and k//2.
+    """
+    big = jnp.asarray(jnp.inf, x.dtype)
+    xs = jnp.sort(jnp.where(mask, x, big), axis=-1)
+    k = jnp.sum(mask, axis=-1)
+    lo = jnp.clip((k - 1) // 2, 0)
+    hi = jnp.clip(k // 2, 0)
+    med = 0.5 * (
+        jnp.take_along_axis(xs, lo[..., None], -1)[..., 0]
+        + jnp.take_along_axis(xs, hi[..., None], -1)[..., 0]
+    )
+    return jnp.where(k > 0, med, 0.0)
+
+
+def reduce_grid(x, ps, valid=None, method="median"):
+    """Patch-grid reduction of ``x (H, W)`` with optional validity mask."""
+    X, gh, gw = _to_grid(x, ps)
+    if valid is None:
+        if method == "median":
+            return jnp.median(X, axis=-1)
+        return jnp.mean(X, axis=-1)
+    M, _, _ = _to_grid(valid.astype(jnp.float32), ps)
+    mask = M >= 0.5
+    if method == "median":
+        return masked_median(X, mask)
+    s = jnp.sum(jnp.where(mask, X, 0.0), axis=-1)
+    n = jnp.sum(mask, axis=-1)
+    return jnp.where(n > 0, s / jnp.maximum(n, 1), 0.0)
+
+
+def view_weight(t_norm, theta, b0, theta0):
+    """Observation weight from camera motion: 0.5*(clip(t/b0) + clip(θ/θ0))."""
+    t = jnp.clip(t_norm / b0, 0.0, 1.0) if b0 > 0 else jnp.asarray(1.0)
+    r = jnp.clip(theta / theta0, 0.0, 1.0) if theta0 > 0 else jnp.asarray(1.0)
+    return 0.5 * (t + r)
+
+
+def ema_delta(prev, inc, alpha):
+    new = alpha * prev + (1.0 - alpha) * inc
+    return new, new - prev
+
+
+def robust_z(x, eps=1e-6):
+    """Median/MAD standardization (flattened)."""
+    m = jnp.median(x)
+    mad = jnp.median(jnp.abs(x - m)) + eps
+    return (x - m) / mad
+
+
+def classify(delta_cov, r, u, thr_zr=1.0, thr_zu=1.0, thr_dc=0.02):
+    """3-way degradation classes + [0, 1] priority scores.
+
+    Class 1: stagnant coverage + high uncertainty.
+    Class 2: coverage ok but high residual AND high uncertainty.
+    Class 3: high residual with low uncertainty (likely geometry error).
+    """
+    shape = delta_cov.shape
+    dc = delta_cov.reshape(-1)
+    rf = r.reshape(-1)
+    uf = u.reshape(-1)
+    zr = robust_z(rf)
+    zu = robust_z(uf)
+
+    c1 = (dc < thr_dc) & (zu > thr_zu)
+    c2 = (dc >= thr_dc) & (zr > thr_zr) & (zu > thr_zu)
+    c3 = (zr > thr_zr) & (zu <= thr_zu)
+    cls = jnp.where(c1, 1, jnp.where(c2, 2, jnp.where(c3, 3, 0)))
+
+    p1 = (1.0 - jnp.clip(dc, 0.0, 1.0)) + jnp.clip(zu, 0.0, None)
+    p2 = jnp.clip(zr, 0.0, None) + jnp.clip(zu, 0.0, None)
+    p3 = jnp.clip(zr, 0.0, None) + jnp.clip(1.0 - uf, 0.0, None)
+    p = jnp.where(c1, p1, jnp.where(c2, p2, jnp.where(c3, p3, 0.0)))
+    p = p / (jnp.max(p) + 1e-6)
+    return cls.reshape(shape), p.reshape(shape)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "ps"))
+def compute_quality(valid_kf, r_pix, Ck, Qk, t_norm, theta, cov_ewma_prev,
+                    H, W, ps, alpha, b0, theta0, C_thr, Q_thr,
+                    thr_zr, thr_zu, thr_dc):
+    """Full quality computation for one keyframe (all inputs flat H*W).
+
+    Returns dict of patch-grid arrays:
+    ``delta_cov, r, u, class_id, priority, cov_ewma`` each (H//ps, W//ps).
+    """
+    valid = valid_kf.reshape(H, W)
+    vgrid = (reduce_grid(valid.astype(jnp.float32), ps, method="mean") > 0).astype(
+        jnp.float32
+    )
+    inc = vgrid * view_weight(t_norm, theta, b0, theta0)
+    ew, dc = ema_delta(cov_ewma_prev, inc, alpha)
+
+    r = reduce_grid(r_pix.reshape(H, W), ps, valid=valid, method="median")
+
+    Cn = jnp.clip(Ck.reshape(H, W) / (C_thr + 1e-8), 0.0, 1.0)
+    Qn = jnp.clip(Qk.reshape(H, W) / (Q_thr + 1e-8), 0.0, 1.0)
+    U = 1.0 - jnp.sqrt(jnp.clip(Cn * Qn, 0.0, 1.0))
+    u = reduce_grid(U, ps, method="median")
+
+    cls, pri = classify(dc, r, u, thr_zr, thr_zu, thr_dc)
+    return {
+        "delta_cov": dc,
+        "r": r,
+        "u": u,
+        "class_id": cls,
+        "priority": pri,
+        "cov_ewma": ew,
+    }
+
+
+def upsample_to_hw(grid, h, w):
+    """Nearest-neighbour upsample of a patch grid back to (h, w) (export use)."""
+    gh, gw = grid.shape
+    ry = h // gh + (1 if h % gh else 0)
+    rx = w // gw + (1 if w % gw else 0)
+    out = jnp.repeat(jnp.repeat(grid, ry, axis=0), rx, axis=1)
+    return out[:h, :w]

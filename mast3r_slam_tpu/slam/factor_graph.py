@@ -1,0 +1,422 @@
+"""Backend factor graph + global Sim(3) Gauss-Newton bundle adjustment on TPU.
+
+Replaces the reference's largest native component — the CUDA GN solvers +
+host-side Eigen sparse Cholesky (reference: mast3r_slam/global_opt.py and
+backend/src/gn_kernels.cu: ``ray_align_kernel`` :813-1138,
+``calib_proj_kernel`` :1231-1545, ``SparseBlock``/``SimplicialLLT`` :57-159)
+— with a single jitted computation per iteration:
+
+- per-edge/per-pixel residuals + analytic Jacobians as batched einsums (MXU),
+- Hessian block assembly via scatter-add into a FIXED-capacity dense
+  ``(7*cap, 7*cap)`` system (the keyframe buffer is bounded at ~110 poses, so
+  the dense normal equations are ≤ 770², trivially Cholesky-factored
+  on-device — no GPU→CPU→GPU round-trip per iteration like the reference),
+- left-multiplicative Sim(3) retraction of all free poses,
+- ``lax.while_loop`` until ``‖dx‖ < delta_thresh`` or ``max_iter``.
+
+Pose Jacobian convention (same math as the reference kernels): residuals are
+functions of ``X' = T_i^{-1} T_j ∘ X_j``; the local point Jacobian
+``D(X') = [I | -skew(X') | X']`` maps to world-frame perturbations of pose j
+through ``Adj(T_i^{-1})``, and ``J_i = -J_j``.
+
+Edge buffers are padded to power-of-two buckets so XLA compiles once per
+bucket, not per edge count.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from mast3r_slam_tpu.ops import geometry, lie
+from mast3r_slam_tpu.ops.robust import huber
+
+
+# ---------------------------------------------------------------------------
+# Jitted GN core
+# ---------------------------------------------------------------------------
+
+def _point_pose_jacobian(rd_jac, Xp):
+    """Compose residual/point Jacobian with the local Sim3 point Jacobian.
+
+    ``rd_jac (..., D, 3)``, ``Xp (..., 3)`` → ``(..., D, 7)``.
+    """
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=Xp.dtype), Xp.shape[:-1] + (3, 3))
+    Dp = jnp.concatenate([eye, -lie.skew(Xp), Xp[..., :, None]], axis=-1)
+    return rd_jac @ Dp
+
+
+def _edge_terms_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
+                     sigma_ray, sigma_dist, C_thresh, Q_thresh):
+    """Residuals/Jacobians/weights for ray+dist alignment along each edge.
+
+    For edge (i, j): pixel k of keyframe j matches pixel ``idx_ii2jj[e, k]``
+    of keyframe i; residual compares unit rays + distances in frame i.
+    Returns ``r (E,N,4)``, ``Ji, Jj (E,N,4,7)``, ``w (E,N,4)``.
+    """
+    Ti = T_WC[ii]                                 # (E, 8)
+    Tj = T_WC[jj]
+    Tij = lie.compose(lie.inv(Ti), Tj)
+
+    e_idx = jnp.arange(ii.shape[0])[:, None]
+    safe_idx = jnp.where(valid_match[..., 0], idx_ii2jj, 0)
+    Xi = X[ii][e_idx, safe_idx]                   # (E, N, 3)
+    Xj = X[jj]                                    # (E, N, 3)
+    Ci = Cavg[ii][e_idx, safe_idx, 0]
+    Cj = Cavg[jj][..., 0]
+
+    Xj_Ci = lie.act(Tij[:, None, :], Xj)
+    rd_i = geometry.point_to_ray_dist(Xi)
+    rd_j, rd_jac = geometry.point_to_ray_dist(Xj_Ci, jacobian=True)
+    r = rd_j - rd_i                               # (E, N, 4) — predicted minus measured
+
+    Jlocal = _point_pose_jacobian(rd_jac, Xj_Ci)  # (E, N, 4, 7)
+    adj_inv = lie.adjoint(lie.inv(Ti))            # (E, 7, 7)
+    Jj = jnp.einsum("enka,eab->enkb", Jlocal, adj_inv)
+    Ji = -Jj
+
+    q = Q[..., 0]
+    valid = (
+        valid_match[..., 0]
+        & (q > Q_thresh)
+        & (Ci > C_thresh)
+        & (Cj > C_thresh)
+    )
+    conf = jnp.where(valid, q, 0.0)
+    sw_ray = jnp.sqrt(conf) / sigma_ray
+    sw_dist = jnp.sqrt(conf) / sigma_dist
+    sw = jnp.stack([sw_ray, sw_ray, sw_ray, sw_dist], axis=-1)  # (E, N, 4)
+    w = huber(sw * r) * sw * sw
+    return r, Ji, Jj, w
+
+
+def _edge_terms_calib(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K,
+                      img_size, pixel_border, z_eps,
+                      sigma_pixel, sigma_depth, C_thresh, Q_thresh):
+    """Residuals/Jacobians/weights for calibrated pixel+logdepth alignment."""
+    Ti = T_WC[ii]
+    Tj = T_WC[jj]
+    Tij = lie.compose(lie.inv(Ti), Tj)
+
+    e_idx = jnp.arange(ii.shape[0])[:, None]
+    safe_idx = jnp.where(valid_match[..., 0], idx_ii2jj, 0)
+    Xi = X[ii][e_idx, safe_idx]
+    Xj = X[jj]
+    Ci = Cavg[ii][e_idx, safe_idx, 0]
+    Cj = Cavg[jj][..., 0]
+
+    Xj_Ci = lie.act(Tij[:, None, :], Xj)
+    # Measurement: keyframe i's matched pixel + its log depth.
+    zi = Xi[..., 2:3]
+    valid_zi = zi[..., 0] > z_eps
+    uv_i = geometry.project_calib(Xi, K, img_size, border=-1e9, z_eps=z_eps)[0]
+    pz_j, dpz_dX, valid_proj = geometry.project_calib(
+        Xj_Ci, K, img_size, jacobian=True, border=pixel_border, z_eps=z_eps
+    )
+    r = pz_j - uv_i
+
+    Jlocal = _point_pose_jacobian(dpz_dX, Xj_Ci)
+    adj_inv = lie.adjoint(lie.inv(Ti))
+    Jj = jnp.einsum("enka,eab->enkb", Jlocal, adj_inv)
+    Ji = -Jj
+
+    q = Q[..., 0]
+    valid = (
+        valid_match[..., 0]
+        & (q > Q_thresh)
+        & (Ci > C_thresh)
+        & (Cj > C_thresh)
+        & valid_proj[..., 0]
+        & valid_zi
+    )
+    conf = jnp.where(valid, q, 0.0)
+    sw_pix = jnp.sqrt(conf) / sigma_pixel
+    sw_dep = jnp.sqrt(conf) / sigma_depth
+    sw = jnp.stack([sw_pix, sw_pix, sw_dep], axis=-1)
+    w = huber(sw * r) * sw * sw
+    return r, Ji, Jj, w
+
+
+def _assemble_and_solve(r, Ji, Jj, w, ii, jj, free_mask, cap, damping):
+    """Scatter per-edge blocks into the dense (cap*7, cap*7) system and solve.
+
+    Pinned/inactive poses scatter into a trash slot and get identity rows, so
+    their update is exactly zero. Returns ``dx (cap, 7)``.
+    """
+    # Per-edge 7x7 blocks and 7-gradients.
+    Hii = jnp.einsum("enka,enk,enkb->eab", Ji, w, Ji)
+    Hjj = jnp.einsum("enka,enk,enkb->eab", Jj, w, Jj)
+    Hij = jnp.einsum("enka,enk,enkb->eab", Ji, w, Jj)
+    gi = -jnp.einsum("enka,enk,enk->ea", Ji, w, r)
+    gj = -jnp.einsum("enka,enk,enk->ea", Jj, w, r)
+
+    slot_i = jnp.where(free_mask[ii], ii, cap)
+    slot_j = jnp.where(free_mask[jj], jj, cap)
+
+    H = jnp.zeros((cap + 1, 7, cap + 1, 7), dtype=r.dtype)
+    H = H.at[slot_i, :, slot_i, :].add(Hii)
+    H = H.at[slot_j, :, slot_j, :].add(Hjj)
+    H = H.at[slot_i, :, slot_j, :].add(Hij)
+    H = H.at[slot_j, :, slot_i, :].add(jnp.swapaxes(Hij, -1, -2))
+    g = jnp.zeros((cap + 1, 7), dtype=r.dtype)
+    g = g.at[slot_i].add(gi)
+    g = g.at[slot_j].add(gj)
+
+    Hd = H[:cap, :, :cap, :].reshape(cap * 7, cap * 7)
+    gd = g[:cap].reshape(cap * 7)
+
+    # Identity rows for non-free poses keep the system well-posed.
+    diag_free = jnp.repeat(free_mask[:cap], 7)
+    Hd = jnp.where(diag_free[:, None] & diag_free[None, :], Hd, 0.0)
+    eye = jnp.eye(cap * 7, dtype=Hd.dtype)
+    Hd = Hd + jnp.where(diag_free, damping, 1.0)[:, None] * eye
+    gd = jnp.where(diag_free, gd, 0.0)
+
+    Lc = jnp.linalg.cholesky(Hd)
+    ok = jnp.all(jnp.isfinite(Lc))
+    Lc_safe = jnp.where(ok, Lc, eye)
+    dx = jax.scipy.linalg.cho_solve((Lc_safe, True), gd)
+    dx = jnp.where(ok, dx, 0.0)
+    return dx.reshape(cap, 7)
+
+
+@partial(jax.jit, static_argnames=("max_iter",), donate_argnums=(0,))
+def gauss_newton_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
+                      edge_mask, free_mask,
+                      sigma_ray, sigma_dist, C_thresh, Q_thresh,
+                      max_iter, delta_thresh, damping=1e-4):
+    """Global ray-alignment BA over padded two-way edges. Updates T_WC (cap, 8).
+
+    ``ii, jj (E,)`` already two-way-duplicated; ``edge_mask (E,)`` masks
+    padding; ``free_mask (cap,)`` marks poses that may move.
+    """
+    cap = T_WC.shape[0]
+
+    def body(state):
+        T, it, _ = state
+        r, Ji, Jj, w = _edge_terms_rays(
+            T, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
+            sigma_ray, sigma_dist, C_thresh, Q_thresh,
+        )
+        w = w * edge_mask[:, None, None]
+        dx = _assemble_and_solve(r, Ji, Jj, w, ii, jj, free_mask, cap, damping)
+        T_new = jax.vmap(lie.retr)(T, dx)
+        delta = jnp.linalg.norm(dx)
+        return T_new, it + 1, delta
+
+    def cond(state):
+        _, it, delta = state
+        return (it < max_iter) & (delta >= delta_thresh)
+
+    T, _, _ = lax.while_loop(
+        cond, body, (T_WC, jnp.asarray(0), jnp.asarray(jnp.inf, T_WC.dtype))
+    )
+    return T
+
+
+@partial(jax.jit, static_argnames=("max_iter", "img_size"), donate_argnums=(0,))
+def gauss_newton_calib(T_WC, X, Cavg, K, ii, jj, idx_ii2jj, valid_match, Q,
+                       edge_mask, free_mask, img_size,
+                       pixel_border, z_eps, sigma_pixel, sigma_depth,
+                       C_thresh, Q_thresh, max_iter, delta_thresh, damping=1e-4):
+    """Global calibrated BA (pixel + log-depth residuals)."""
+    cap = T_WC.shape[0]
+
+    def body(state):
+        T, it, _ = state
+        r, Ji, Jj, w = _edge_terms_calib(
+            T, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K, img_size,
+            pixel_border, z_eps, sigma_pixel, sigma_depth, C_thresh, Q_thresh,
+        )
+        w = w * edge_mask[:, None, None]
+        dx = _assemble_and_solve(r, Ji, Jj, w, ii, jj, free_mask, cap, damping)
+        T_new = jax.vmap(lie.retr)(T, dx)
+        delta = jnp.linalg.norm(dx)
+        return T_new, it + 1, delta
+
+    def cond(state):
+        _, it, delta = state
+        return (it < max_iter) & (delta >= delta_thresh)
+
+    T, _, _ = lax.while_loop(
+        cond, body, (T_WC, jnp.asarray(0), jnp.asarray(jnp.inf, T_WC.dtype))
+    )
+    return T
+
+
+# ---------------------------------------------------------------------------
+# Host-side factor graph
+# ---------------------------------------------------------------------------
+
+def _bucket(n, minimum=8):
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class FactorGraph:
+    """Edge store + BA driver (capability parity with reference
+    mast3r_slam/global_opt.py:12-223, redesigned around padded device buffers).
+    """
+
+    def __init__(self, model, keyframes, cfg, K=None):
+        self.model = model
+        self.keyframes = keyframes
+        self.cfg = cfg["local_opt"]
+        self.K = K
+        n_pix = keyframes.h * keyframes.w
+        self.n_pix = n_pix
+        # Host-side dynamic edge lists; device arrays built at solve time.
+        self.ii = np.zeros((0,), np.int32)
+        self.jj = np.zeros((0,), np.int32)
+        self.idx_ii2jj = jnp.zeros((0, n_pix), jnp.int32)
+        self.idx_jj2ii = jnp.zeros((0, n_pix), jnp.int32)
+        self.valid_match_j = jnp.zeros((0, n_pix, 1), bool)
+        self.valid_match_i = jnp.zeros((0, n_pix, 1), bool)
+        self.Q_ii2jj = jnp.zeros((0, n_pix, 1), jnp.float32)
+        self.Q_jj2ii = jnp.zeros((0, n_pix, 1), jnp.float32)
+        self.last_unique_kf_idx: np.ndarray | None = None
+
+    def n_edges(self):
+        return int(self.ii.shape[0])
+
+    def add_factors(self, ii_new, jj_new, min_match_frac, is_reloc=False):
+        """Symmetric-decode candidate edges; accept by bidirectional coverage.
+
+        Returns True if at least one edge was added. In strict-reloc mode the
+        whole batch is rejected if ANY edge is invalid (reference
+        global_opt.py:78-79).
+        """
+        if len(ii_new) == 0:
+            return False
+        kf = self.keyframes
+        with kf.lock:
+            feat_i = kf.feat[np.asarray(ii_new)]
+            feat_j = kf.feat[np.asarray(jj_new)]
+            pos_i = kf.pos[np.asarray(ii_new)]
+            pos_j = kf.pos[np.asarray(jj_new)]
+        img_hw = kf.img_shapes[int(ii_new[0])][1]
+
+        (idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij) = (
+            self.model.match_symmetric(feat_i, pos_i, feat_j, pos_j, img_hw)
+        )
+
+        b_idx = jnp.arange(idx_i2j.shape[0])[:, None]
+        Qj = jnp.sqrt(Qii[b_idx, idx_i2j] * Qji)
+        Qi = jnp.sqrt(Qjj[b_idx, idx_j2i] * Qij)
+
+        valid_j_full = valid_j & (Qj > self.cfg["Q_conf"])
+        valid_i_full = valid_i & (Qi > self.cfg["Q_conf"])
+        frac_j = np.asarray(jnp.mean(valid_j_full.astype(jnp.float32), axis=(1, 2)))
+        frac_i = np.asarray(jnp.mean(valid_i_full.astype(jnp.float32), axis=(1, 2)))
+
+        ii_arr = np.asarray(ii_new, np.int32)
+        jj_arr = np.asarray(jj_new, np.int32)
+        invalid = np.minimum(frac_j, frac_i) < min_match_frac
+        consecutive = ii_arr == (jj_arr - 1)
+        invalid = (~consecutive) & invalid
+        if invalid.any() and is_reloc:
+            return False
+
+        keep = ~invalid
+        if not keep.any():
+            return False
+        kidx = np.where(keep)[0]
+        self.ii = np.concatenate([self.ii, ii_arr[kidx]])
+        self.jj = np.concatenate([self.jj, jj_arr[kidx]])
+        kj = jnp.asarray(kidx)
+        self.idx_ii2jj = jnp.concatenate([self.idx_ii2jj, idx_i2j[kj].astype(jnp.int32)])
+        self.idx_jj2ii = jnp.concatenate([self.idx_jj2ii, idx_j2i[kj].astype(jnp.int32)])
+        self.valid_match_j = jnp.concatenate([self.valid_match_j, valid_j[kj]])
+        self.valid_match_i = jnp.concatenate([self.valid_match_i, valid_i[kj]])
+        self.Q_ii2jj = jnp.concatenate([self.Q_ii2jj, Qj[kj]])
+        self.Q_jj2ii = jnp.concatenate([self.Q_jj2ii, Qi[kj]])
+        return True
+
+    def get_unique_kf_idx(self):
+        return np.unique(np.concatenate([self.ii, self.jj]))
+
+    def _two_way_padded(self):
+        """Two-way duplicated edge arrays padded to a power-of-two bucket."""
+        E = self.n_edges()
+        ii2 = np.concatenate([self.ii, self.jj])
+        jj2 = np.concatenate([self.jj, self.ii])
+        idx = jnp.concatenate([self.idx_ii2jj, self.idx_jj2ii], axis=0)
+        valid = jnp.concatenate([self.valid_match_j, self.valid_match_i], axis=0)
+        Q = jnp.concatenate([self.Q_ii2jj, self.Q_jj2ii], axis=0)
+
+        pad = _bucket(2 * E) - 2 * E
+        mask = np.ones(2 * E, np.float32)
+        if pad:
+            ii2 = np.concatenate([ii2, np.zeros(pad, np.int32)])
+            jj2 = np.concatenate([jj2, np.zeros(pad, np.int32)])
+            idx = jnp.concatenate([idx, jnp.zeros((pad, self.n_pix), jnp.int32)])
+            valid = jnp.concatenate([valid, jnp.zeros((pad, self.n_pix, 1), bool)])
+            Q = jnp.concatenate([Q, jnp.zeros((pad, self.n_pix, 1), jnp.float32)])
+            mask = np.concatenate([mask, np.zeros(pad, np.float32)])
+        return (
+            jnp.asarray(ii2), jnp.asarray(jj2), idx, valid, Q, jnp.asarray(mask)
+        )
+
+    def _free_mask(self, unique_kf_idx):
+        pin = int(self.cfg["pin"])
+        cap = self.keyframes.capacity
+        mask = np.zeros(cap, bool)
+        mask[unique_kf_idx[pin:]] = True
+        return jnp.asarray(mask)
+
+    def solve_GN_rays(self):
+        unique = self.get_unique_kf_idx()
+        if unique.size <= int(self.cfg["pin"]):
+            self.last_unique_kf_idx = None
+            return
+        self.last_unique_kf_idx = unique
+        kf = self.keyframes
+        ii2, jj2, idx, valid, Q, mask = self._two_way_padded()
+        with kf.lock:
+            Cavg = kf.C / jnp.clip(
+                jnp.asarray(kf.N, jnp.float32)[:, None, None], 1.0
+            )
+            T_new = gauss_newton_rays(
+                kf.T_WC, kf.X, Cavg, ii2, jj2, idx, valid, Q, mask,
+                self._free_mask(unique),
+                float(self.cfg["sigma_ray"]), float(self.cfg["sigma_dist"]),
+                float(self.cfg["C_conf"]), float(self.cfg["Q_conf"]),
+                int(self.cfg["max_iters"]), float(self.cfg["delta_norm"]),
+            )
+            kf.T_WC = T_new
+            for i in unique[int(self.cfg["pin"]):]:
+                kf.version[int(i)] += 1
+
+    def solve_GN_calib(self):
+        unique = self.get_unique_kf_idx()
+        if unique.size <= int(self.cfg["pin"]):
+            self.last_unique_kf_idx = None
+            return
+        self.last_unique_kf_idx = unique
+        kf = self.keyframes
+        img_size = (kf.h, kf.w)
+        ii2, jj2, idx, valid, Q, mask = self._two_way_padded()
+        with kf.lock:
+            Cavg = kf.C / jnp.clip(
+                jnp.asarray(kf.N, jnp.float32)[:, None, None], 1.0
+            )
+            X_rays = jax.vmap(
+                lambda x: geometry.constrain_points_to_ray(img_size, x, self.K)
+            )(kf.X)
+            T_new = gauss_newton_calib(
+                kf.T_WC, X_rays, Cavg, self.K, ii2, jj2, idx, valid, Q, mask,
+                self._free_mask(unique), img_size,
+                float(self.cfg["pixel_border"]), float(self.cfg["depth_eps"]),
+                float(self.cfg["sigma_pixel"]), float(self.cfg["sigma_depth"]),
+                float(self.cfg["C_conf"]), float(self.cfg["Q_conf"]),
+                int(self.cfg["max_iters"]), float(self.cfg["delta_norm"]),
+            )
+            kf.T_WC = T_new
+            for i in unique[int(self.cfg["pin"]):]:
+                kf.version[int(i)] += 1

@@ -1,0 +1,105 @@
+"""Matcher tests on synthetic ray fields with known correspondence."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu.ops import matching
+from mast3r_slam_tpu.ops.image import img_gradient
+
+RNG = np.random.default_rng(2)
+
+
+def synthetic_pointmap(h, w, fx=100.0, fy=100.0, depth_fn=None):
+    """Smooth pointmap of a plane-ish surface seen by a pinhole camera."""
+    cx, cy = w / 2.0, h / 2.0
+    u, v = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    x = (u - cx) / fx
+    y = (v - cy) / fy
+    if depth_fn is None:
+        z = 2.0 + 0.3 * np.sin(u / 13.0) + 0.2 * np.cos(v / 9.0)
+    else:
+        z = depth_fn(u, v)
+    X = np.stack([x * z, y * z, z], axis=-1).astype(np.float32)
+    return X
+
+
+def test_identity_match():
+    """Matching a pointmap against itself recovers the identity correspondence."""
+    h, w = 48, 64
+    X = synthetic_pointmap(h, w)
+    X11 = jnp.asarray(X)[None]
+    D = RNG.normal(size=(h, w, 8)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=-1, keepdims=True)
+    D11 = jnp.asarray(D)[None]
+
+    idx, valid = matching.match(X11, X11, D11, D11, radius=0)
+    idx = np.asarray(idx[0])
+    valid = np.asarray(valid[0, :, 0])
+    gt = np.arange(h * w)
+    # Border-ring pixels are clamped to the interior and can never converge
+    # (same for the reference CUDA kernel); evaluate on the interior only.
+    interior = (
+        ((gt % w) >= 1) & ((gt % w) <= w - 2) & ((gt // w) >= 1) & ((gt // w) <= h - 2)
+    )
+    assert valid[interior].mean() > 0.99
+    du = np.abs((idx % w) - (gt % w))
+    dv = np.abs((idx // w) - (gt // w))
+    assert (np.maximum(du, dv)[valid & interior] <= 1).mean() > 0.99
+
+
+def test_shifted_match_converges_from_identity_init():
+    """Query points shifted a few pixels away are recovered by the LM solver."""
+    h, w = 48, 64
+    X = synthetic_pointmap(h, w)
+    shift = 3
+    # X21 = X11 shifted left by `shift` pixels: pixel (u,v) of image 2 sees the
+    # ray of pixel (u+shift, v) in image 1.
+    X21 = np.roll(X, -shift, axis=1)
+    # Drop the wrapped columns from evaluation.
+    X11j = jnp.asarray(X)[None]
+    X21j = jnp.asarray(X21)[None]
+    D = RNG.normal(size=(h, w, 8)).astype(np.float32)
+    D11 = jnp.asarray(D / np.linalg.norm(D, axis=-1, keepdims=True))[None]
+
+    idx, valid = matching.match(X11j, X21j, D11, D11, radius=0, max_iter=20)
+    idx = np.asarray(idx[0]).reshape(h, w)
+    valid = np.asarray(valid[0, :, 0]).reshape(h, w)
+    u_matched = idx % w
+    u_expect = np.minimum(np.arange(w) + shift, w - 1)[None, :].repeat(h, 0)
+    interior = np.zeros((h, w), bool)
+    interior[4:-4, 4 : -(4 + shift)] = True
+    ok = np.abs(u_matched - u_expect) <= 1
+    assert (ok | ~valid)[interior].mean() > 0.9
+    assert valid[interior].mean() > 0.5
+
+
+def test_refine_matches_finds_descriptor_peak():
+    """With distinctive descriptors, refinement snaps to the exact pixel."""
+    h, w, f = 32, 40, 16
+    D = RNG.normal(size=(h, w, f)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=-1, keepdims=True)
+    D11 = jnp.asarray(D)[None]
+    # Query descriptors = exact descriptors of ground-truth pixels.
+    gt = np.stack(
+        [RNG.integers(6, w - 6, size=50), RNG.integers(6, h - 6, size=50)], axis=-1
+    )
+    D21 = jnp.asarray(D[gt[:, 1], gt[:, 0]])[None]
+    # Perturb initial guesses by up to 4 pixels.
+    p0 = gt + RNG.integers(-4, 5, size=gt.shape)
+    p0 = np.clip(p0, 0, [w - 1, h - 1])
+    p_ref = matching.refine_matches(
+        D11, D21, jnp.asarray(p0)[None], radius=2, dilation_max=3
+    )
+    p_ref = np.asarray(p_ref[0])
+    assert (p_ref == gt).all(axis=-1).mean() > 0.9
+
+
+def test_img_gradient_linear_field():
+    """Gradient of a linear ramp is constant and equals the slope."""
+    h, w = 16, 20
+    u = np.arange(w, dtype=np.float32)[None, :].repeat(h, 0)
+    img = jnp.asarray(u)[None, :, :, None]
+    gx, gy = img_gradient(img)
+    inner = np.asarray(gx[0, 2:-2, 2:-2, 0])
+    np.testing.assert_allclose(inner, 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy[0, 2:-2, 2:-2, 0]), 0.0, atol=1e-5)

@@ -1,0 +1,151 @@
+"""Model structure tests at a tiny config: shapes, finiteness, head invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu.models import mast3r as M
+
+CFG = M.tiny_config()
+H, W = 64, 96  # 4x6 patches
+
+
+def _params():
+    return M.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_encode_shapes():
+    params = _params()
+    img = jnp.zeros((1, H, W, 3))
+    feat, pos = M.encode_image(params, CFG, img)
+    n = (H // 16) * (W // 16)
+    assert feat.shape == (1, n, CFG.enc_embed_dim)
+    assert pos.shape == (1, n, 2)
+    # positions are (y, x) in row-major order
+    np.testing.assert_array_equal(np.asarray(pos[0, 0]), [0, 0])
+    np.testing.assert_array_equal(np.asarray(pos[0, 1]), [0, 1])
+    np.testing.assert_array_equal(np.asarray(pos[0, W // 16]), [1, 0])
+
+
+def test_two_view_infer_outputs():
+    params = _params()
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32) * 0.2)
+    img2 = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32) * 0.2)
+    res1, res2 = M.two_view_infer(params, CFG, img1, img2)
+    for res in (res1, res2):
+        assert res["pts3d"].shape == (1, H, W, 3)
+        assert res["conf"].shape == (1, H, W)
+        assert res["desc"].shape == (1, H, W, CFG.desc_dim)
+        assert res["desc_conf"].shape == (1, H, W)
+        assert bool(jnp.all(jnp.isfinite(res["pts3d"])))
+        # conf activations are 1 + exp(x) > 1
+        assert float(jnp.min(res["conf"])) >= 1.0
+        assert float(jnp.min(res["desc_conf"])) >= 1.0
+        # descriptors are unit-normalized
+        norms = jnp.linalg.norm(res["desc"], axis=-1)
+        np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-3)
+
+
+def test_asymmetry_of_decoders():
+    """Swapping the image order must produce different (view-dependent) outputs."""
+    params = _params()
+    rng = np.random.default_rng(1)
+    img1 = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32) * 0.2)
+    img2 = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32) * 0.2)
+    res1, _ = M.two_view_infer(params, CFG, img1, img2)
+    res1_swap, _ = M.two_view_infer(params, CFG, img2, img1)
+    assert not np.allclose(
+        np.asarray(res1["pts3d"]), np.asarray(res1_swap["pts3d"]), atol=1e-4
+    )
+
+
+def test_convert_roundtrip_shapes():
+    """A synthetic torch-layout state dict converts onto the init pytree exactly."""
+    from mast3r_slam_tpu.models.convert import convert_state_dict
+
+    params = _params()
+
+    # Build a fake torch state dict with the right shapes from our own pytree.
+    sd = {}
+
+    def put_lin(prefix, p):
+        sd[prefix + ".weight"] = np.asarray(p["w"]).T
+        if "b" in p:
+            sd[prefix + ".bias"] = np.asarray(p["b"])
+
+    def put_conv(prefix, p):
+        sd[prefix + ".weight"] = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))
+        if "b" in p:
+            sd[prefix + ".bias"] = np.asarray(p["b"])
+
+    def put_convT(prefix, p):
+        sd[prefix + ".weight"] = np.transpose(np.asarray(p["w"]), (2, 3, 0, 1))
+        if "b" in p:
+            sd[prefix + ".bias"] = np.asarray(p["b"])
+
+    def put_ln(prefix, p):
+        sd[prefix + ".weight"] = np.asarray(p["g"])
+        sd[prefix + ".bias"] = np.asarray(p["b"])
+
+    put_conv("patch_embed.proj", params["patch_embed"])
+    put_ln("enc_norm", params["enc_norm"])
+    put_ln("dec_norm", params["dec_norm"])
+    put_lin("decoder_embed", params["decoder_embed"])
+    for i, blk in enumerate(params["enc_blocks"]):
+        pre = f"enc_blocks.{i}"
+        put_ln(pre + ".norm1", blk["norm1"])
+        put_ln(pre + ".norm2", blk["norm2"])
+        put_lin(pre + ".attn.qkv", blk["attn"]["qkv"])
+        put_lin(pre + ".attn.proj", blk["attn"]["proj"])
+        put_lin(pre + ".mlp.fc1", blk["mlp"]["fc1"])
+        put_lin(pre + ".mlp.fc2", blk["mlp"]["fc2"])
+    for name in ("dec_blocks", "dec_blocks2"):
+        for i, blk in enumerate(params[name]):
+            pre = f"{name}.{i}"
+            for ln in ("norm1", "norm2", "norm3", "norm_y"):
+                put_ln(pre + "." + ln, blk[ln])
+            put_lin(pre + ".attn.qkv", blk["attn"]["qkv"])
+            put_lin(pre + ".attn.proj", blk["attn"]["proj"])
+            put_lin(pre + ".cross_attn.projq", blk["cross"]["q"])
+            put_lin(pre + ".cross_attn.projk", blk["cross"]["k"])
+            put_lin(pre + ".cross_attn.projv", blk["cross"]["v"])
+            put_lin(pre + ".cross_attn.proj", blk["cross"]["proj"])
+            put_lin(pre + ".mlp.fc1", blk["mlp"]["fc1"])
+            put_lin(pre + ".mlp.fc2", blk["mlp"]["fc2"])
+    for n in (1, 2):
+        hp = params[f"head{n}"]
+        pre = f"downstream_head{n}"
+        put_lin(pre + ".head_local_features.fc1", hp["local_feat"]["fc1"])
+        put_lin(pre + ".head_local_features.fc2", hp["local_feat"]["fc2"])
+        d = hp["dpt"]
+        put_conv(pre + ".dpt.act_postprocess.0.0", d["act0_conv"])
+        put_convT(pre + ".dpt.act_postprocess.0.1", d["act0_up"])
+        put_conv(pre + ".dpt.act_postprocess.1.0", d["act1_conv"])
+        put_convT(pre + ".dpt.act_postprocess.1.1", d["act1_up"])
+        put_conv(pre + ".dpt.act_postprocess.2.0", d["act2_conv"])
+        put_conv(pre + ".dpt.act_postprocess.3.0", d["act3_conv"])
+        put_conv(pre + ".dpt.act_postprocess.3.1", d["act3_down"])
+        for i in range(4):
+            put_conv(pre + f".dpt.scratch.layer{i + 1}_rn", d[f"rn{i}"])
+        for i in range(1, 5):
+            rpre = pre + f".dpt.scratch.refinenet{i}"
+            put_conv(rpre + ".resConfUnit1.conv1", d[f"ref{i}"]["rcu1_c1"])
+            put_conv(rpre + ".resConfUnit1.conv2", d[f"ref{i}"]["rcu1_c2"])
+            put_conv(rpre + ".resConfUnit2.conv1", d[f"ref{i}"]["rcu2_c1"])
+            put_conv(rpre + ".resConfUnit2.conv2", d[f"ref{i}"]["rcu2_c2"])
+            put_conv(rpre + ".out_conv", d[f"ref{i}"]["out"])
+        put_conv(pre + ".dpt.head.0", d["head_c1"])
+        put_conv(pre + ".dpt.head.2", d["head_c2"])
+        put_conv(pre + ".dpt.head.4", d["head_c3"])
+
+    converted = convert_state_dict(sd, enc_depth=CFG.enc_depth, dec_depth=CFG.dec_depth)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(converted))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[path]), atol=1e-6,
+            err_msg=str(path),
+        )
