@@ -1,0 +1,103 @@
+"""End-to-end tracking-step benchmark on real hardware.
+
+Measures the frontend hot path at full flagship size — ViT-L encode of the new
+frame, dual cross-decoder + DPT/MLP heads for the (frame, keyframe) pair,
+iterative-projection matching with descriptor refinement, and the Sim(3)
+Gauss-Newton pose solve — i.e. everything the reference does per frame on its
+GPU (reference call stack: SURVEY.md §3.2), minus host-side dataset IO.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 8.5 FPS end-to-end on TUM fr1 on an RTX 4090 (BASELINE.md,
+reference CHANGELOG.md:557).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 8.5
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from mast3r_slam_tpu.models import mast3r as M
+    from mast3r_slam_tpu.ops import lie, matching
+    from mast3r_slam_tpu.slam.tracker import opt_pose_ray_dist_sim3
+
+    H, W = 384, 512
+    cfg = M.MASt3RConfig()
+    log(f"devices: {jax.devices()}")
+    log("initializing ViT-L params...")
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params)
+
+    key = jax.random.PRNGKey(42)
+    img_f = jax.random.uniform(key, (1, H, W, 3), jnp.float32, -1.0, 1.0)
+
+    n_pix = H * W
+
+    @jax.jit
+    def track_step(params, img_f, feat_k, pos_k, T_WCk):
+        # encode new frame
+        feat_f, pos_f = M.encode_image(params, cfg, img_f)
+        # decode (frame, keyframe) pair + heads
+        d1, d2 = M.decode_pair(params, cfg, feat_f, pos_f, feat_k, pos_k)
+        res_ff = M.downstream_head(params["head1"], cfg, d1, (H, W))
+        res_kf = M.downstream_head(params["head2"], cfg, d2, (H, W))
+        Xff, Dff = res_ff["pts3d"], res_ff["desc"]
+        Xkf, Dkf = res_kf["pts3d"], res_kf["desc"]
+        # iterative-projection matching + descriptor refinement
+        idx_f2k, valid = matching.match(Xff, Xkf, Dff, Dkf)
+        # Sim(3) Gauss-Newton pose solve on the matched sets
+        Xf = Xff.reshape(n_pix, 3)[idx_f2k[0]]
+        Xk = Xkf.reshape(n_pix, 3)
+        Qk = res_kf["desc_conf"].reshape(n_pix, 1)
+        T_WCf, T_CkCf, ok = opt_pose_ray_dist_sim3(
+            Xf, Xk, T_WCk, T_WCk, Qk, valid[0].astype(jnp.float32),
+            0.003, 0.003, 1.345, 50, 1e-7, 1e-7,
+        )
+        return T_WCf, idx_f2k, ok
+
+    log("encoding keyframe...")
+    ek = jax.jit(lambda p, i: M.encode_image(p, cfg, i))
+    feat_k, pos_k = ek(params, img_f)
+    T_WCk = lie.identity()
+    jax.block_until_ready(feat_k)
+
+    log("compiling track_step (first call)...")
+    t0 = time.perf_counter()
+    out = track_step(params, img_f, feat_k, pos_k, T_WCk)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    # steady state
+    n_warm, n_iter = 3, 20
+    for _ in range(n_warm):
+        out = track_step(params, img_f, feat_k, pos_k, T_WCk)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = track_step(params, img_f, feat_k, pos_k, T_WCk)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+    fps = 1.0 / dt
+    log(f"track_step: {dt * 1e3:.1f} ms/frame → {fps:.2f} FPS")
+
+    print(json.dumps({
+        "metric": "tracking_fps_512",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

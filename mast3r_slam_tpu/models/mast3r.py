@@ -219,7 +219,7 @@ def _init_dec_block(key, dim, mlp_ratio):
 
 def _init_dpt(key, cfg: MASt3RConfig, num_channels: int):
     """DPT pyramid params (hook adapters + fusion + regression head)."""
-    ks = iter(jax.random.split(key, 32))
+    ks = iter(jax.random.split(key, 40))
     ld = cfg.dpt_layer_dims
     fd = cfg.dpt_feature_dim
     hook_dims = (cfg.enc_embed_dim,) + (cfg.dec_embed_dim,) * 3

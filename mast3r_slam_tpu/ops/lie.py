@@ -204,9 +204,35 @@ def inv(T):
 
 # Below this magnitude of (theta, sigma) the closed-form W coefficients suffer
 # catastrophic f32 cancellation (their guards in Sophus/lietorch assume f64),
-# so we switch to a 4th-order Taylor series of W = sum_n M^n/(n+1)!,
-# M = sigma*I + Phi, whose truncation error (~|M|^5/720) is below f32 eps here.
-_W_SERIES_THRESH_SQ = 0.03 ** 2
+# so we switch to the exact Taylor series of W = sum_n M^n/(n+1)!,
+# M = sigma*I + Phi, evaluated by the {I, Phi, Phi^2} coefficient recurrence
+# (Phi^3 = -theta^2 Phi). 12 terms give truncation < 1e-12 for |M| < 0.3,
+# while all closed-form denominators are then >= 0.3 — f32-safe on both sides.
+_W_SERIES_THRESH_SQ = 0.3 ** 2
+_W_SERIES_TERMS = 12
+
+
+def _w_series(theta_sq, sigma):
+    """(C, A, B) by the M^n/(n+1)! recurrence in the {I, Phi, Phi^2} basis."""
+    cI = jnp.ones_like(sigma)
+    cP = jnp.zeros_like(sigma)
+    cP2 = jnp.zeros_like(sigma)
+    C = jnp.zeros_like(sigma)
+    A = jnp.zeros_like(sigma)
+    B = jnp.zeros_like(sigma)
+    fact = 1.0
+    for n in range(_W_SERIES_TERMS):
+        fact *= n + 1  # (n+1)!
+        inv = 1.0 / fact
+        C = C + cI * inv
+        A = A + cP * inv
+        B = B + cP2 * inv
+        cI, cP, cP2 = (
+            sigma * cI,
+            cI + sigma * cP - theta_sq * cP2,
+            cP + sigma * cP2,
+        )
+    return C, A, B
 
 
 def _sim3_W_coeffs(theta_sq, sigma):
@@ -219,16 +245,9 @@ def _sim3_W_coeffs(theta_sq, sigma):
     t_small = theta_sq < _W_SERIES_THRESH_SQ
     s_small = sigma * sigma < _W_SERIES_THRESH_SQ
     series = t_small & s_small  # box selector: every other branch divides by a
-    #                             quantity that is then >= 0.03 — f32-safe.
+    #                             quantity that is then >= 0.3 — f32-safe.
 
-    # --- Taylor series in {I, Phi, Phi^2} basis (using Phi^3 = -theta^2 Phi) ---
-    s = sigma
-    s2 = s * s
-    C_s = 1.0 + s / 2.0 + s2 / 6.0 + s * s2 / 24.0 + s2 * s2 / 120.0
-    A_s = 0.5 + s / 3.0 + (3.0 * s2 - theta_sq) / 24.0 + (
-        4.0 * s * s2 - 4.0 * s * theta_sq
-    ) / 120.0
-    B_s = 1.0 / 6.0 + s / 8.0 + (6.0 * s2 - theta_sq) / 120.0
+    C_s, A_s, B_s = _w_series(theta_sq, sigma)
 
     # --- closed forms with guarded denominators ---
     theta_sq_l = jnp.where(t_small, 1.0, theta_sq)   # used when theta large
@@ -239,11 +258,21 @@ def _sim3_W_coeffs(theta_sq, sigma):
     C_e = (scale_f - 1.0) / sigma_l
     C = jnp.where(s_small, C_s, C_e)
 
-    # theta small, sigma large:
-    A_ls = ((sigma_l - 1.0) * scale_f + 1.0) / (sigma_l * sigma_l)
-    B_ls = (scale_f * (0.5 * sigma_l * sigma_l - sigma_l + 1.0) - 1.0) / (
-        sigma_l ** 3
-    )
+    # theta small, sigma large (c = sigma^2 + theta^2 >= 0.09 here): Taylor in
+    # theta with EXACT sigma dependence, from W = ∫ e^{sigma s} R(theta s) ds —
+    # the sin/cos integrals expanded to theta^4 (truncation < 1e-6 at 0.3).
+    c_ts = sigma * sigma + theta_sq
+    c_ts_safe = jnp.where(series, 1.0, c_ts)
+    A_ls = (
+        scale_f * (sigma - 1.0) + 1.0
+        + theta_sq * scale_f * (0.5 - sigma / 6.0)
+        + theta_sq * theta_sq * scale_f * (sigma / 120.0 - 1.0 / 24.0)
+    ) / c_ts_safe
+    B_ls = (
+        C - scale_f * (1.0 - 0.5 * sigma)
+        + theta_sq * scale_f * (1.0 / 6.0 - sigma / 24.0)
+        + theta_sq * theta_sq * scale_f * (sigma / 720.0 - 1.0 / 120.0)
+    ) / c_ts_safe
     # theta large (any sigma):
     a = scale_f * jnp.sin(theta_l)
     b = scale_f * jnp.cos(theta_l)
