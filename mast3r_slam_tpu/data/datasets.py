@@ -130,10 +130,12 @@ class MonocularDataset:
         ts = self.timestamps[idx] if idx < len(self.timestamps) else float(idx)
         return float(ts), img
 
-    def get_img_shape(self):
+    def get_img_shape(self, img_size: int = 0):
         """(display_shape, true_shape) of the model crop for frame 0."""
+        if not img_size:
+            img_size = int(config.get("dataset", {}).get("img_size", 512))
         _, img = self[0]
-        res = resize_img(img, 512)
+        res = resize_img(img, img_size)
         hw = tuple(int(v) for v in res["true_shape"][0])
         return hw, hw
 

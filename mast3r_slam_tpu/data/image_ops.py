@@ -41,7 +41,8 @@ def resize_img(img: np.ndarray, size: int = 512, square_ok: bool = False,
     ``(scale_w, scale_h, half_crop_w, half_crop_h)`` mapping original pixel
     coords to crop coords (used to rescale calibration intrinsics).
     """
-    assert size in (224, 512)
+    # 224 = square mode (short-edge resize + square crop); any other size is
+    # long-edge mode (512 in production; smaller values for fast CPU tests).
     h1, w1 = img.shape[:2]
     if size == 224:
         r = _resize_short_to(img, size)

@@ -125,6 +125,51 @@ def convert_state_dict(sd, enc_depth=24, dec_depth=12):
     return params
 
 
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat):
+    root: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+
+    def listify(node):
+        if isinstance(node, dict):
+            keys = list(node.keys())
+            if keys and all(k.isdigit() for k in keys):
+                return [listify(node[str(i)]) for i in range(len(keys))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(root)
+
+
+def save_params_npz(params, path):
+    """Persist a parameter pytree as a flat .npz archive."""
+    np.savez(path, **_flatten(params))
+
+
+def load_params_npz(path):
+    """Load a pytree saved by :func:`save_params_npz`."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return _unflatten(flat)
+
+
 def load_checkpoint(path, enc_depth=24, dec_depth=12):
     """Load a ``.pth`` checkpoint (requires torch) and convert to a pytree."""
     import torch

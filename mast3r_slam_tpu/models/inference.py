@@ -21,12 +21,24 @@ from mast3r_slam_tpu.ops import matching
 
 
 class MASt3RInference:
-    """Holds params + config and exposes SLAM-facing inference methods."""
+    """Holds params + config and exposes SLAM-facing inference methods.
 
-    def __init__(self, params, cfg: M.MASt3RConfig, match_cfg: dict | None = None):
+    With ``mesh`` set (a 1-D ``jax.sharding.Mesh``), symmetric pair-decode
+    batches are sharded over the mesh's edge axis — each chip decodes a slice
+    of the keyframe-pair batch (params replicated), which is how the backend
+    scales across a TPU slice.
+    """
+
+    def __init__(self, params, cfg: M.MASt3RConfig, match_cfg: dict | None = None,
+                 mesh=None):
         self.params = params
         self.cfg = cfg
         self.match_cfg = match_cfg or {}
+        self.mesh = mesh
+        if mesh is not None:
+            from mast3r_slam_tpu.parallel import sharding as S
+
+            self.params = S.replicate(params, mesh)
 
     # -- encoding ----------------------------------------------------------
 
@@ -72,6 +84,17 @@ class MASt3RInference:
         Returns (X, C, D, Q) each with leading dim 4 over [ii, ji, jj, ij]
         and second dim B (matching the reference's output convention).
         """
+        if self.mesh is not None:
+            import numpy as _np
+
+            from mast3r_slam_tpu.parallel import sharding as S
+
+            n_dev = int(_np.prod(self.mesh.devices.shape))
+            if feat_i.shape[0] % n_dev == 0:
+                feat_i = S.shard_leading(feat_i, self.mesh)
+                feat_j = S.shard_leading(feat_j, self.mesh)
+                pos_i = S.shard_leading(pos_i, self.mesh)
+                pos_j = S.shard_leading(pos_j, self.mesh)
         return _decode_symmetric_batch_jit(
             self.params, self.cfg, feat_i, pos_i, feat_j, pos_j, tuple(img_hw)
         )

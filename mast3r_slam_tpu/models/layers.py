@@ -96,13 +96,17 @@ def conv2d(p, x, stride=1, padding="SAME"):
 
 def conv2d_transpose(p, x, stride):
     """NHWC transposed conv, kernel HWIO ``(kh, kw, c_in, c_out)``; VALID padding
-    with ``kh == stride`` (the DPT upsamplers use k=s so output is exactly s*H)."""
+    with ``kh == stride`` (the DPT upsamplers use k=s so output is exactly s*H).
+
+    torch ``ConvTranspose2d`` semantics: ``lax.conv_transpose`` mirrors the
+    kernel spatially (it treats it as a forward-conv kernel), so flip kh/kw
+    to place each input pixel's contribution where torch puts it (verified
+    against torch in tests/test_model_parity.py)."""
     if isinstance(stride, int):
         stride = (stride, stride)
-    dn = lax.conv_dimension_numbers(x.shape, p["w"].shape, ("NHWC", "HWIO", "NHWC"))
-    y = lax.conv_transpose(
-        x, p["w"].astype(x.dtype), stride, "VALID", dimension_numbers=dn
-    )
+    w = p["w"][::-1, ::-1].astype(x.dtype)
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_transpose(x, w, stride, "VALID", dimension_numbers=dn)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

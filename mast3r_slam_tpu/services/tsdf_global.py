@@ -1,0 +1,284 @@
+"""Global sparse TSDF volume: integration threads + TSDF-residual pose
+refinement.
+
+Capability parity with the reference global-TSDF subsystem (reference:
+mast3r_slam/tsdf/global_volume.py, tsdf_optimizer.py, global_manager.py):
+
+- ``TSDFVolume``: world-space sparse voxel store (the native C++ open-
+  addressing hash of services/native_tsdf.py — replacing the reference's
+  Python dict), lock-guarded.
+- ``TSDFPoseOptimizer``: per-keyframe Sim(3) refinement minimizing TSDF
+  values at sampled confident points; Jacobian ``[∇φ; -p×∇φ; p·∇φ]`` in the
+  7-dim Sim3 tangent, damped normal equations, LEFT-multiplicative update
+  ``Sim3.exp(δ) ∘ pose`` (reference tsdf_optimizer.py:46-124).
+- ``TSDFGlobalIntegrator``: thread integrating new keyframes in order and
+  re-integrating pose-updated keyframes from a dedup'd queue
+  (reference global_manager.py:16-115).
+- ``TSDFGlobalOptThread``: async pose-refinement worker with cooldown
+  (reference global_manager.py:118-175).
+- ``TSDFGlobalManager``: wiring + ``on_after_backend_solve`` hook
+  (reference global_manager.py:178-229).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+
+import numpy as np
+
+from mast3r_slam_tpu.ops import lie
+from mast3r_slam_tpu.services.native_tsdf import make_voxel_hash
+
+
+class TSDFVolume:
+    """Lock-guarded world-space sparse TSDF."""
+
+    def __init__(self, cfg):
+        c = cfg.get("tsdf_global", {})
+        self.voxel_size = float(c.get("voxel_size", 0.03))
+        self.trunc = float(c.get("trunc_dist", 0.12))
+        self.min_weight = float(c.get("min_tsdf_weight", 1e-3))
+        self.hash = make_voxel_hash(
+            capacity=int(c.get("table_capacity", 1 << 20)),
+            voxel_size=self.voxel_size,
+            trunc=self.trunc,
+            max_weight=float(c.get("max_weight", 100.0)),
+        )
+        self.lock = threading.RLock()
+
+    def integrate(self, points_w, conf, origin_w, min_conf=0.0) -> int:
+        with self.lock:
+            return self.hash.integrate(points_w, conf, origin_w, min_conf)
+
+    def query(self, points_w):
+        with self.lock:
+            return self.hash.query(points_w, self.min_weight)
+
+    def stats(self):
+        with self.lock:
+            return self.hash.stats()
+
+
+class TSDFPoseOptimizer:
+    """Sim(3) pose refinement against the global TSDF."""
+
+    def __init__(self, volume: TSDFVolume, keyframes, cfg):
+        c = cfg.get("tsdf_global", {})
+        self.volume = volume
+        self.keyframes = keyframes
+        self.samples = int(c.get("samples_per_kf", 2000))
+        self.lam = float(c.get("lambda", 0.15))
+        self.max_iters = int(c.get("max_iterations", 3))
+        self.damping = float(c.get("damping", 1e-4))
+        self.min_conf = float(c.get("min_confidence", 0.05))
+        self.refined = 0
+
+    def _sample_points(self, kf_idx):
+        kf = self.keyframes
+        with kf.lock:
+            X = np.asarray(kf.X[kf_idx])
+            C = np.asarray(kf.C[kf_idx][:, 0])
+            n = max(int(kf.N[kf_idx]), 1)
+            T = np.asarray(kf.T_WC[kf_idx])
+        conf = C / n
+        good = np.where(conf > self.min_conf)[0]
+        if good.size == 0:
+            return None, None, None
+        if good.size > self.samples:
+            good = np.random.default_rng(kf_idx).choice(
+                good, self.samples, replace=False
+            )
+        return X[good], conf[good], T
+
+    def optimize_single(self, kf_idx) -> bool:
+        """GN on ``min Σ w φ(T∘p)²``; writes the pose back under lock."""
+        X_cam, w, T0 = self._sample_points(kf_idx)
+        if X_cam is None:
+            return False
+        T = T0.copy()
+        for _ in range(self.max_iters):
+            Xw = np.asarray(lie.act(T[None], X_cam))
+            phi, grad, valid = self.volume.query(Xw)
+            if valid.sum() < 32:
+                return False
+            p = Xw[valid]
+            g = grad[valid]
+            r = phi[valid]
+            ww = w[valid] * self.lam
+            # J_i = [∇φ | -p×∇φ... careful sign: d(exp(eps)p)/deps =
+            # [I | -skew(p) | p]] → Jrow = [g, cross(p, g), g·p]
+            J = np.concatenate(
+                [g, np.cross(p, g), np.sum(g * p, axis=1, keepdims=True)],
+                axis=1,
+            )  # (M, 7)
+            H = (J * ww[:, None]).T @ J
+            b = (J * ww[:, None]).T @ r
+            H += self.damping * np.eye(7)
+            try:
+                delta = np.linalg.solve(H, -b)
+            except np.linalg.LinAlgError:
+                return False
+            T = np.asarray(lie.compose(lie.exp(
+                np.asarray(delta, np.float32)
+            ), T))
+            if np.linalg.norm(delta) < 1e-6:
+                break
+        with self.keyframes.lock:
+            # write-back only if the pose was not concurrently replaced
+            import jax.numpy as jnp
+
+            self.keyframes.T_WC = self.keyframes.T_WC.at[kf_idx].set(
+                jnp.asarray(T)
+            )
+            self.keyframes.version[kf_idx] += 1
+        self.refined += 1
+        return True
+
+
+class TSDFGlobalIntegrator(threading.Thread):
+    def __init__(self, volume: TSDFVolume, keyframes, cfg):
+        super().__init__(daemon=True, name="tsdf-global-integrate")
+        c = cfg.get("tsdf_global", {})
+        self.volume = volume
+        self.keyframes = keyframes
+        self.max_points = int(c.get("max_points_per_kf", 40000))
+        self.min_conf = float(c.get("min_confidence", 0.05))
+        self.poll_s = float(c.get("queue_check_interval", 0.1))
+        self.log_interval = float(c.get("log_interval", 30))
+        self.reint_cap = int(c.get("reintegration_queue", 256))
+        self.reintegration_queue: deque = deque()
+        self._pending: set = set()
+        self._lock = threading.Lock()
+        self.stop_flag = threading.Event()
+        self.integrated_until = 0
+        self._last_log = time.monotonic()
+
+    def mark_pose_update(self, kf_indices):
+        with self._lock:
+            for i in kf_indices:
+                i = int(i)
+                if i not in self._pending and len(
+                    self.reintegration_queue
+                ) < self.reint_cap:
+                    self._pending.add(i)
+                    self.reintegration_queue.append(i)
+
+    def _integrate_kf(self, idx):
+        kf = self.keyframes
+        with kf.lock:
+            if idx >= len(kf):
+                return
+            X = np.asarray(kf.X[idx])
+            C = np.asarray(kf.C[idx][:, 0])
+            n = max(int(kf.N[idx]), 1)
+            T = np.asarray(kf.T_WC[idx])
+        conf = C / n
+        good = np.where(conf > self.min_conf)[0]
+        if good.size > self.max_points:
+            good = good[:: good.size // self.max_points + 1]
+        Xw = np.asarray(lie.act(T[None], X[good]))
+        origin = T[:3]
+        self.volume.integrate(Xw, conf[good], origin, self.min_conf)
+
+    def run(self):
+        while not self.stop_flag.is_set():
+            did = False
+            if self.integrated_until < len(self.keyframes):
+                self._integrate_kf(self.integrated_until)
+                self.integrated_until += 1
+                did = True
+            else:
+                with self._lock:
+                    idx = (self.reintegration_queue.popleft()
+                           if self.reintegration_queue else None)
+                    if idx is not None:
+                        self._pending.discard(idx)
+                if idx is not None:
+                    self._integrate_kf(idx)
+                    did = True
+            now = time.monotonic()
+            if now - self._last_log > self.log_interval:
+                print(f"[tsdf-global] {self.volume.stats()}")
+                self._last_log = now
+            if not did:
+                time.sleep(self.poll_s)
+
+
+class TSDFGlobalOptThread(threading.Thread):
+    def __init__(self, optimizer: TSDFPoseOptimizer, cfg):
+        super().__init__(daemon=True, name="tsdf-global-opt")
+        self.optimizer = optimizer
+        self.queue: deque = deque()
+        self._pending: set = set()
+        self._lock = threading.Lock()
+        self.stop_flag = threading.Event()
+        self.cooldown_s = 0.05
+
+    def enqueue(self, kf_indices):
+        with self._lock:
+            for i in kf_indices:
+                i = int(i)
+                if i not in self._pending:
+                    self._pending.add(i)
+                    self.queue.append(i)
+
+    def run(self):
+        while not self.stop_flag.is_set():
+            with self._lock:
+                idx = self.queue.popleft() if self.queue else None
+                if idx is not None:
+                    self._pending.discard(idx)
+            if idx is None:
+                time.sleep(0.1)
+                continue
+            try:
+                self.optimizer.optimize_single(idx)
+            except Exception as e:
+                print(f"[tsdf-global-opt] kf {idx} failed: {e}")
+            time.sleep(self.cooldown_s)
+
+
+class TSDFGlobalManager:
+    """Wires volume + integrator + optimizer; backend calls
+    ``on_after_backend_solve`` after each GN solve."""
+
+    def __init__(self, keyframes, cfg):
+        self.enabled = bool(cfg.get("tsdf_global", {}).get("enabled", False))
+        self.keyframes = keyframes
+        self.cfg = cfg
+        self.volume = TSDFVolume(cfg)
+        self.integrator = TSDFGlobalIntegrator(self.volume, keyframes, cfg)
+        self.optimizer = TSDFPoseOptimizer(self.volume, keyframes, cfg)
+        self.opt_thread = TSDFGlobalOptThread(self.optimizer, cfg)
+        self.pin = int(cfg.get("local_opt", {}).get("pin", 1))
+        self._started = False
+
+    def start(self):
+        if self.enabled and not self._started:
+            self.integrator.start()
+            self.opt_thread.start()
+            self._started = True
+        return self
+
+    def on_after_backend_solve(self, factor_graph):
+        """Mark pose-updated keyframes for re-integration + refinement
+        (reference global_manager.py:214-229)."""
+        if not self._started:
+            return
+        unique = factor_graph.last_unique_kf_idx
+        if unique is None:
+            return
+        moved = [int(i) for i in unique[self.pin:]]
+        self.integrator.mark_pose_update(moved)
+        self.opt_thread.enqueue(moved)
+
+    def shutdown(self, timeout=10.0):
+        if self._started:
+            self.integrator.stop_flag.set()
+            self.opt_thread.stop_flag.set()
+            self.integrator.join(timeout=timeout)
+            self.opt_thread.join(timeout=timeout)
+            self._started = False
+            print(f"[tsdf-global] final stats: {self.volume.stats()}")

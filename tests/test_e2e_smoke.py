@@ -1,0 +1,114 @@
+"""End-to-end smoke test: the full CLI pipeline on a synthetic dataset.
+
+Runs ``main.main()`` with a tiny model preset over a handful of synthetic
+TUM-format frames on the CPU mesh — exercising dataset ingestion, mono init,
+tracking, keyframing, the backend factor graph + retrieval + global BA,
+quality service, TSDF refiner scheduling, shutdown, and result export.
+Geometry is meaningless with random weights; the test checks the system runs
+end-to-end, stays alive, and produces well-formed outputs.
+"""
+
+import os
+import pathlib
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_tum_freiburg1")
+    (root / "rgb").mkdir()
+    import cv2
+
+    rng = np.random.default_rng(0)
+    base = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
+    rows = []
+    for i in range(6):
+        img = np.roll(base, shift=4 * i, axis=1)  # synthetic "camera pan"
+        cv2.imwrite(str(root / "rgb" / f"{i:04d}.png"), img)
+        rows.append(f"{1e9 + i / 30.0:.6f} rgb/{i:04d}.png")
+    (root / "rgb.txt").write_text("# ts file\n" + "\n".join(rows) + "\n")
+    return root
+
+
+@pytest.fixture(scope="module")
+def tiny_config_file(tmp_path_factory):
+    cfgdir = tmp_path_factory.mktemp("cfg")
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    cfg = {
+        "inherit": str(repo / "config" / "base.yaml"),
+        "single_thread": True,
+        "dataset": {"img_size": 96},  # 64x96 crops keep CPU compiles fast
+        "model": {"preset": "tiny"},
+        "tracking": {"min_match_frac": 0.0, "match_frac_thresh": 0.9,
+                     "Q_conf": 0.0, "max_iters": 3},
+        "local_opt": {"min_match_frac": 0.0, "Q_conf": 0.0, "max_iters": 2},
+        "matching": {"max_iter": 2, "radius": 1, "dilation_max": 1},
+        "tsdf_refine": {"enabled": True, "window_size": 1, "ray_samples": 8,
+                        "max_grid_dim": 16},
+        "tsdf_global": {"enabled": True, "samples_per_kf": 64,
+                        "max_points_per_kf": 256, "table_capacity": 65536},
+    }
+    path = cfgdir / "tiny.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    return path
+
+
+def test_main_end_to_end(synth_dataset, tiny_config_file, tmp_path,
+                         monkeypatch):
+    import main as cli
+
+    monkeypatch.chdir(tmp_path)
+    cli.main([
+        "--dataset", str(synth_dataset),
+        "--config", str(tiny_config_file),
+        "--no-viz",
+        "--save-as", "smoke",
+        "--max-frames", "6",
+    ])
+
+    out = pathlib.Path("logs") / "smoke" / synth_dataset.name
+    traj = out / f"{synth_dataset.name}.txt"
+    assert traj.exists(), "trajectory file missing"
+    rows = [l for l in traj.read_text().splitlines() if l.strip()]
+    assert len(rows) >= 1
+    vals = [float(v) for v in rows[0].split()]
+    assert len(vals) == 8  # TUM format t x y z qx qy qz qw
+    assert np.isfinite(vals).all()
+
+    ply = out / f"{synth_dataset.name}.ply"
+    assert ply.exists() and ply.stat().st_size > 100
+    qply = out / f"{synth_dataset.name}_quality.ply"
+    assert qply.exists()
+    header = qply.read_bytes()[:400].decode("ascii", "ignore")
+    assert "property float priority" in header
+    assert (out / "keyframes").exists()
+
+
+def test_ate_rmse_self():
+    """ATE of a trajectory against itself (after Sim3 alignment) is ~0, and a
+    known rigid offset is recovered by alignment."""
+    from mast3r_slam_tpu import evaluation as ev
+
+    rng = np.random.default_rng(1)
+    ts = np.arange(50, dtype=np.float64) / 10
+    pts = np.cumsum(rng.normal(size=(50, 3)) * 0.05, axis=0)
+    qs = np.tile([0, 0, 0, 1.0], (50, 1))
+
+    def write(path, offset=0.0, scale=1.0):
+        with open(path, "w") as f:
+            for t, p, q in zip(ts, pts * scale + offset, qs):
+                f.write(f"{t} {p[0]} {p[1]} {p[2]} {q[0]} {q[1]} {q[2]} {q[3]}\n")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        gt = os.path.join(d, "gt.txt")
+        est = os.path.join(d, "est.txt")
+        write(gt)
+        write(est, offset=np.array([1.0, -2.0, 0.5]), scale=1.7)
+        res = ev.ate_rmse(gt, est, align=True, scale=True)
+        assert res["rmse"] < 1e-6
+        assert res["n_pairs"] == 50

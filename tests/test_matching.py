@@ -73,25 +73,49 @@ def test_shifted_match_converges_from_identity_init():
     assert valid[interior].mean() > 0.5
 
 
-def test_refine_matches_finds_descriptor_peak():
-    """With distinctive descriptors, refinement snaps to the exact pixel."""
+def test_refine_matches_single_level_exact():
+    """One dense level (dilation 1) snaps exactly to the descriptor peak when
+    the peak is inside the window — random (distinctive) descriptors."""
     h, w, f = 32, 40, 16
     D = RNG.normal(size=(h, w, f)).astype(np.float32)
     D /= np.linalg.norm(D, axis=-1, keepdims=True)
     D11 = jnp.asarray(D)[None]
-    # Query descriptors = exact descriptors of ground-truth pixels.
     gt = np.stack(
         [RNG.integers(6, w - 6, size=50), RNG.integers(6, h - 6, size=50)], axis=-1
     )
     D21 = jnp.asarray(D[gt[:, 1], gt[:, 0]])[None]
-    # Perturb initial guesses by up to 4 pixels.
-    p0 = gt + RNG.integers(-4, 5, size=gt.shape)
-    p0 = np.clip(p0, 0, [w - 1, h - 1])
+    p0 = gt + RNG.integers(-2, 3, size=gt.shape)  # within the ±2 window
+    p_ref = matching.refine_matches(
+        D11, D21, jnp.asarray(p0)[None], radius=2, dilation_max=1
+    )
+    assert (np.asarray(p_ref[0]) == gt).all(axis=-1).mean() == 1.0
+
+
+def test_refine_matches_coarse_to_fine_smooth_field():
+    """Multi-level dilated search converges on a spatially-smooth descriptor
+    field (the regime coarse-to-fine assumes: similarity decays with pixel
+    distance), recovering perturbations larger than the finest window."""
+    h, w, f = 48, 64, 16
+    # Smooth field: low-frequency sinusoid mixtures → similarity falls off
+    # monotonically with distance at the scales the search uses.
+    u, v = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    feats = [np.sin(u / s + p) * np.cos(v / t + q)
+             for s, t, p, q in RNG.uniform(2.0, 9.0, size=(f, 4))]
+    D = np.stack(feats, axis=-1).astype(np.float32)
+    D += 0.01 * RNG.normal(size=D.shape).astype(np.float32)
+    D /= np.linalg.norm(D, axis=-1, keepdims=True) + 1e-9
+    D11 = jnp.asarray(D)[None]
+    gt = np.stack(
+        [RNG.integers(10, w - 10, size=50), RNG.integers(10, h - 10, size=50)],
+        axis=-1,
+    )
+    D21 = jnp.asarray(D[gt[:, 1], gt[:, 0]])[None]
+    p0 = gt + RNG.integers(-5, 6, size=gt.shape)  # beyond the finest window
     p_ref = matching.refine_matches(
         D11, D21, jnp.asarray(p0)[None], radius=2, dilation_max=3
     )
-    p_ref = np.asarray(p_ref[0])
-    assert (p_ref == gt).all(axis=-1).mean() > 0.9
+    err = np.abs(np.asarray(p_ref[0]) - gt).max(axis=-1)
+    assert (err <= 1).mean() > 0.9
 
 
 def test_img_gradient_linear_field():

@@ -1,0 +1,121 @@
+"""TSDF tests: local block kernels, native voxel hash, pose optimizer."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu.ops import lie
+from mast3r_slam_tpu.services.native_tsdf import make_voxel_hash
+from mast3r_slam_tpu.services.tsdf_local import (
+    build_block_tsdf,
+    raycast_block,
+)
+
+RNG = np.random.default_rng(5)
+
+
+def plane_points(n=4000, z=1.0, extent=0.4, noise=0.0):
+    xy = (RNG.random((n, 2)) - 0.5) * extent
+    zs = np.full((n, 1), z) + noise * RNG.normal(size=(n, 1))
+    return np.concatenate([xy, zs], 1).astype(np.float32)
+
+
+def test_build_block_tsdf_plane_sign():
+    """TSDF is positive in front of the surface, negative behind."""
+    pts = plane_points()
+    G = 32
+    grid_origin = jnp.asarray([-0.3, -0.3, 0.8], jnp.float32)
+    voxel = 0.02
+    tsdf, weight = build_block_tsdf(
+        jnp.asarray(pts), jnp.ones(pts.shape[0]), jnp.zeros(3),
+        grid_origin, voxel, 0.08, G, 16,
+    )
+    tsdf = np.asarray(tsdf)
+    weight = np.asarray(weight)
+
+    def at(x, y, z):
+        i, j, k = ((np.array([x, y, z]) - np.asarray(grid_origin)) / voxel).astype(int)
+        return tsdf[i, j, k], weight[i, j, k]
+
+    t_front, w_front = at(0.0, 0.0, 0.95)   # between camera and plane
+    t_behind, w_behind = at(0.0, 0.0, 1.05)
+    assert w_front > 0 and w_behind > 0
+    assert t_front > 0 > t_behind
+
+
+def test_raycast_block_recovers_plane():
+    """Noisy plane points snap back to the TSDF zero crossing at z=1."""
+    pts_clean = plane_points(2000, noise=0.0)
+    G = 48
+    grid_origin = jnp.asarray([-0.3, -0.3, 0.8], jnp.float32)
+    voxel = 0.01
+    tsdf, weight = build_block_tsdf(
+        jnp.asarray(pts_clean), jnp.ones(2000), jnp.zeros(3),
+        grid_origin, voxel, 0.06, G, 24,
+    )
+    # Noise well above the voxel quantization floor so refinement is visible.
+    pts_noisy = pts_clean.copy()
+    pts_noisy[:, 2] += RNG.normal(size=2000).astype(np.float32) * 0.03
+    new_pts, ok = raycast_block(
+        tsdf, weight, jnp.asarray(pts_noisy), jnp.ones(2000, bool),
+        jnp.zeros(3), grid_origin, voxel,
+        band=0.08, min_weight=0.01, max_displacement=0.1, n_samples=64,
+    )
+    new_pts = np.asarray(new_pts)
+    ok = np.asarray(ok)
+    assert ok.mean() > 0.5
+    # refined z closer to the plane than the noisy input
+    err_before = np.abs(pts_noisy[ok][:, 2] - 1.0)
+    err_after = np.abs(new_pts[ok][:, 2] - 1.0)
+    assert err_after.mean() < err_before.mean() * 0.7
+
+
+def test_voxel_hash_roundtrip():
+    v = make_voxel_hash(1 << 16, voxel_size=0.02, trunc=0.08)
+    pts = plane_points(5000)
+    v.integrate(pts, np.ones(5000), np.zeros(3))
+    assert v.num_voxels() > 100
+    q = np.array([[0, 0, 0.97], [0, 0, 1.03]], np.float32)
+    tsdf, grad, valid = v.query(q)
+    assert valid.all()
+    assert tsdf[0] > 0 > tsdf[1]
+    assert grad[0, 2] < 0  # TSDF decreases along +z through the surface
+
+
+def test_tsdf_pose_optimizer_reduces_offset():
+    """A keyframe pose offset along z is pulled back toward the TSDF surface."""
+    from mast3r_slam_tpu.services.tsdf_global import (
+        TSDFPoseOptimizer,
+        TSDFVolume,
+    )
+    from mast3r_slam_tpu.slam.frame import Frame, KeyframeBuffer
+
+    cfg = {"tsdf_global": {"voxel_size": 0.02, "trunc_dist": 0.1,
+                           "samples_per_kf": 1500, "lambda": 1.0,
+                           "max_iterations": 4, "min_confidence": 0.0,
+                           "table_capacity": 1 << 16}}
+    vol = TSDFVolume(cfg)
+    # World model: plane at z=1 observed from origin.
+    pts = plane_points(8000, extent=0.8)
+    vol.integrate(pts, np.ones(8000), np.zeros(3))
+
+    h = w = 32
+    n = h * w
+    kfs = KeyframeBuffer(h, w, capacity=4, feat_dim=8)
+    # keyframe at identity sees the same plane; X stored in camera frame
+    X_cam = plane_points(n, extent=0.6)
+    fr = Frame(frame_id=0, img=jnp.zeros((h, w, 3)), img_shape=(h, w),
+               img_true_shape=(h, w), uimg=np.zeros((h, w, 3), np.float32))
+    fr.X_canon = jnp.asarray(X_cam)
+    fr.C = jnp.ones((n, 1))
+    fr.feat = jnp.zeros((1, kfs.num_patches, 8))
+    fr.pos = jnp.zeros((1, kfs.num_patches, 2), jnp.int32)
+    fr.N = 1
+    # offset pose: shifted 3cm along +z → points land behind the surface
+    T_off = np.asarray(lie.exp(jnp.asarray([0, 0, 0.03, 0, 0, 0, 0.0])))
+    fr.T_WC = jnp.asarray(T_off)
+    kfs.append(fr)
+
+    opt = TSDFPoseOptimizer(vol, kfs, cfg)
+    assert opt.optimize_single(0)
+    T_new = np.asarray(kfs.T_WC[0])
+    assert abs(T_new[2]) < 0.03 * 0.7, f"z offset not reduced: {T_new[:3]}"
