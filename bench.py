@@ -20,6 +20,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from mast3r_slam_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache()
+
 BASELINE_FPS = 8.5
 
 
@@ -46,17 +50,16 @@ def main():
 
     @jax.jit
     def track_step(params, img_f, feat_k, pos_k, T_WCk):
-        # encode new frame
+        # One XLA program per frame: program switches cost ~20 ms each on a
+        # tunneled chip, and the matcher is formulated so XLA schedules it
+        # well inside a large program (see ops/matching.py docstring).
         feat_f, pos_f = M.encode_image(params, cfg, img_f)
-        # decode (frame, keyframe) pair + heads
         d1, d2 = M.decode_pair(params, cfg, feat_f, pos_f, feat_k, pos_k)
         res_ff = M.downstream_head(params["head1"], cfg, d1, (H, W))
         res_kf = M.downstream_head(params["head2"], cfg, d2, (H, W))
         Xff, Dff = res_ff["pts3d"], res_ff["desc"]
         Xkf, Dkf = res_kf["pts3d"], res_kf["desc"]
-        # iterative-projection matching + descriptor refinement
         idx_f2k, valid = matching.match(Xff, Xkf, Dff, Dkf)
-        # Sim(3) Gauss-Newton pose solve on the matched sets
         Xf = Xff.reshape(n_pix, 3)[idx_f2k[0]]
         Xk = Xkf.reshape(n_pix, 3)
         Qk = res_kf["desc_conf"].reshape(n_pix, 1)

@@ -25,6 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mast3r_slam_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache()
+
 from mast3r_slam_tpu.data import load_dataset
 from mast3r_slam_tpu.data.datasets import Intrinsics
 from mast3r_slam_tpu import evaluation

@@ -178,3 +178,52 @@ def load_checkpoint(path, enc_depth=24, dec_depth=12):
     sd = ckpt["model"] if "model" in ckpt else ckpt
     sd = {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
     return convert_state_dict(sd, enc_depth, dec_depth)
+
+
+def convert_retrieval_state_dict(sd):
+    """Retrieval-head checkpoint (``..._retrieval_trainingfree.pth``) →
+    ``head_params`` for slam/retrieval.py::select_local_features.
+
+    The reference head (thirdparty/mast3r/retrieval/model.py:88-140) is
+    prewhiten (mean + PCA matrix) → projector MLP (+residual) → attention =
+    L2 norm → postwhiten. Whitening layers are stored as Linear(weight, bias)
+    where x' = (x - mean) @ P == x @ W.T + b with W = P.T, mean = -b @ inv(P).
+    We keep (m, P) form directly from weight/bias.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def whiten(prefix):
+        W = sd[f"{prefix}.weight"]          # (out, in)
+        b = sd.get(f"{prefix}.bias")
+        P = np.ascontiguousarray(W.T)
+        if b is None:
+            m = np.zeros(P.shape[0], np.float32)
+        else:
+            # x @ P + b == (x - m) @ P with m = -b @ pinv(P)
+            m = -np.linalg.pinv(P) @ b if P.shape[0] == P.shape[1] else (
+                -b @ np.linalg.pinv(P)
+            )
+        return m.astype(np.float32), P.astype(np.float32)
+
+    pre_m, pre_P = whiten("prewhiten")
+    post_m, post_P = whiten("postwhiten")
+    projector = []
+    i = 0
+    while f"projector.{i}.weight" in sd:
+        lyr = {"w": np.ascontiguousarray(sd[f"projector.{i}.weight"].T),
+               "b": sd.get(f"projector.{i}.bias",
+                           np.zeros(sd[f"projector.{i}.weight"].shape[0]))}
+        # torch Sequential interleaves Linear/ReLU; ReLU has no params, so a
+        # gap of 2 in indices means the previous layer is followed by ReLU.
+        if f"projector.{i + 2}.weight" in sd:
+            lyr["relu"] = True
+        projector.append(lyr)
+        i += 2 if f"projector.{i + 2}.weight" in sd else 1
+        if i > 32:
+            break
+    return {
+        "prewhiten_m": pre_m, "prewhiten_P": pre_P,
+        "postwhiten_m": post_m, "postwhiten_P": post_P,
+        "projector": projector,
+        "residual": True,
+    }

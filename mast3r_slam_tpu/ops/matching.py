@@ -95,7 +95,13 @@ def _iter_proj_single(rays9_flat, pts_norm, p_init, img_hw, max_iter,
     """LM projection for one image: ``rays9_flat (H*W, 9)``, ``pts_norm (N, 3)``."""
     h, w = img_hw
     c = rays9_flat.shape[-1]
-    corners = _stack_corners(rays9_flat.reshape(h, w, c))
+    # Barrier: keep the corner stack materialized ONCE outside the LM loop —
+    # without it XLA's fusion can sink its construction (gradients + 4-way
+    # stack, ~28 MB) into every loop iteration when iter_proj is embedded in
+    # a larger jit (measured: 166 s compiles and 2x runtime in match()).
+    corners = lax.optimization_barrier(
+        _stack_corners(rays9_flat.reshape(h, w, c))
+    )
     u = jnp.clip(p_init[:, 0], 1.0, w - 2.0)
     v = jnp.clip(p_init[:, 1], 1.0, h - 2.0)
     lam = jnp.full(u.shape, lambda_init, dtype=u.dtype)
@@ -173,26 +179,30 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5):
     D21h = D21.astype(jnp.bfloat16)
 
     def level(p, dilation):
-        offs = _window_offsets_np(radius, dilation)  # (K, 2) ints
+        offs = _window_offsets_np(radius, dilation)  # (K, 2) static ints
         offs_j = jnp.asarray(offs)
+        K = offs.shape[0]
 
         def one_img(Dimg, pq, q):
             pu = jnp.clip(pq[:, 0], 0, w - 1)
             pv = jnp.clip(pq[:, 1], 0, h - 1)
-            lin = pv * w + pu
-            qf = q.astype(jnp.float32)
-
-            # lax.scan over the K window offsets: each step rolls the image
-            # by one offset and row-gathers with the SHARED index vector
-            # (the fast gather shape on TPU). scan keeps the HLO small —
-            # an unrolled 49-offset x 5-level graph takes minutes to compile.
-            def step(_, off):
-                rolled = jnp.roll(Dimg, (-off[1], -off[0]), axis=(0, 1))
-                g = rolled.reshape(n, f)[lin]        # (N, F)
-                return None, jnp.sum(g.astype(jnp.float32) * qf, axis=-1)
-
-            _, scores = lax.scan(step, None, offs_j)  # (K, N)
-            scores = scores.T
+            # TPU gathers are row-rate-limited (~200M rows/s measured on
+            # v5e), so fetch ALL K window candidates of a query as ONE wide
+            # (K*F,) row: concat the K statically-rolled descriptor images
+            # along the channel (minor) dim, then a single N-row gather.
+            # K separate row gathers per level measured 47x slower.
+            stack = jnp.concatenate(
+                [
+                    jnp.roll(Dimg, (-int(dv), -int(du)), axis=(0, 1))
+                    for du, dv in offs
+                ],
+                axis=-1,
+            ).reshape(n, K * f)
+            n_q = pq.shape[0]
+            cand = stack[pv * w + pu].reshape(n_q, K, f)
+            scores = jnp.einsum(
+                "nkf,nf->nk", cand, q, preferred_element_type=jnp.float32
+            )
             # mask candidates that fall outside the image (roll wraps)
             cu = pu[:, None] + offs[None, :, 0]
             cv = pv[:, None] + offs[None, :, 1]
@@ -208,23 +218,37 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5):
     return p1
 
 
+@jax.jit
+def _prep_core(X11, X21):
+    b, h, w, _ = X11.shape
+    rays = X11 * lax.rsqrt(
+        jnp.clip(jnp.sum(X11 * X11, axis=-1, keepdims=True), 1e-24)
+    )
+    gx, gy = img_gradient(rays)
+    rays9 = jnp.concatenate([rays, gx, gy], axis=-1)
+    X21v = X21.reshape(b, h * w, 3)
+    pts_norm = X21v * lax.rsqrt(
+        jnp.clip(jnp.sum(X21v * X21v, axis=-1, keepdims=True), 1e-24)
+    )
+    return rays9, pts_norm
+
+
+@jax.jit
+def _occlusion_gate(X11, X21, p1, converged, dist_thresh):
+    b, h, w, _ = X11.shape
+    lin = pixel_to_lin(p1, w)
+    matched = jax.vmap(lambda img, i: img[i])(X11.reshape(b, h * w, 3), lin)
+    dists = jnp.linalg.norm(matched - X21.reshape(b, -1, 3), axis=-1)
+    return converged & (dists < dist_thresh)
+
+
 def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
     """Build the 9-channel ray image, normalized targets, and init pixels.
 
     ``X11, X21 (B, H, W, 3)``. Mirrors reference matching.py:25-49.
     """
     b, h, w, _ = X11.shape
-    rays = X11 * lax.rsqrt(
-        jnp.clip(jnp.sum(X11 * X11, axis=-1, keepdims=True), 1e-24)
-    )
-    gx, gy = img_gradient(rays)
-    rays9 = jnp.concatenate([rays, gx, gy], axis=-1)  # (B, H, W, 9)
-
-    X21v = X21.reshape(b, h * w, 3)
-    pts_norm = X21v * lax.rsqrt(
-        jnp.clip(jnp.sum(X21v * X21v, axis=-1, keepdims=True), 1e-24)
-    )
-
+    rays9, pts_norm = _prep_core(X11, X21)
     if idx_1_to_2_init is None:
         idx_1_to_2_init = jnp.broadcast_to(jnp.arange(h * w)[None], (b, h * w))
     p_init = lin_to_pixel(idx_1_to_2_init, w).astype(X11.dtype)
@@ -239,6 +263,13 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, *, max_iter=10,
     Returns ``(idx_1_to_2 (B, N) int32, valid (B, N, 1) bool)`` where N = H*W:
     for each pixel of image 2's pointmap-in-frame-1, the linear index of its
     correspondence in image 1.
+
+    Deliberately NOT a single jit: the stages are individually jitted and
+    dispatched in sequence. Fusing the LM loop and the refinement scans into
+    one XLA program compiles ~100x slower AND runs ~4x slower (measured on
+    v5e: 397 ms fused vs 96 ms staged) — XLA's scheduling of the combined
+    gather-heavy regions degrades badly. Async dispatch still pipelines the
+    stages back-to-back on device.
     """
     b, h, w, _ = X21.shape
     rays9, pts_norm, p_init = prep_for_iter_proj(X11, X21, idx_1_to_2_init)
@@ -247,13 +278,11 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, *, max_iter=10,
     )
     p1 = jnp.floor(p1).astype(jnp.int32)
 
-    # Occlusion gate: matched 3D points must be close in 3D space.
-    matched = jax.vmap(lambda img, p: img[p[:, 1], p[:, 0]])(X11, p1.reshape(b, -1, 2))
-    dists = jnp.linalg.norm(matched - X21.reshape(b, -1, 3), axis=-1)
-    valid = converged & (dists < dist_thresh)
+    valid = _occlusion_gate(X11, X21, p1, converged, dist_thresh)
 
     if radius > 0:
-        p1 = refine_matches(D11, D21.reshape(b, h * w, -1), p1, radius, dilation_max)
+        p1 = refine_matches(D11, D21.reshape(b, h * w, -1), p1, radius,
+                            dilation_max)
 
     idx = pixel_to_lin(p1, w)
     return idx, valid[..., None]

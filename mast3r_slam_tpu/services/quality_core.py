@@ -61,9 +61,14 @@ def reduce_grid(x, ps, valid=None, method="median"):
 
 
 def view_weight(t_norm, theta, b0, theta0):
-    """Observation weight from camera motion: 0.5*(clip(t/b0) + clip(θ/θ0))."""
-    t = jnp.clip(t_norm / b0, 0.0, 1.0) if b0 > 0 else jnp.asarray(1.0)
-    r = jnp.clip(theta / theta0, 0.0, 1.0) if theta0 > 0 else jnp.asarray(1.0)
+    """Observation weight from camera motion: 0.5*(clip(t/b0) + clip(θ/θ0)).
+
+    Branchless (b0/theta0 may be traced values under jit): a non-positive
+    normalizer means "always fully weighted"."""
+    t = jnp.where(b0 > 0, jnp.clip(t_norm / jnp.maximum(b0, 1e-12), 0.0, 1.0),
+                  1.0)
+    r = jnp.where(theta0 > 0,
+                  jnp.clip(theta / jnp.maximum(theta0, 1e-12), 0.0, 1.0), 1.0)
     return 0.5 * (t + r)
 
 
