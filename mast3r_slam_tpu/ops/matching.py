@@ -200,8 +200,12 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5):
             ).reshape(n, K * f)
             n_q = pq.shape[0]
             cand = stack[pv * w + pu].reshape(n_q, K, f)
-            scores = jnp.einsum(
-                "nkf,nf->nk", cand, q, preferred_element_type=jnp.float32
+            # batched (K, F) @ (F,) as dot_general: bf16 operands feed the
+            # MXU directly (an einsum here materializes f32 copies of the
+            # (N, K, F) candidates — ~11 ms/frame of pure converts).
+            scores = lax.dot_general(
+                cand, q, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
             )
             # mask candidates that fall outside the image (roll wraps)
             cu = pu[:, None] + offs[None, :, 0]

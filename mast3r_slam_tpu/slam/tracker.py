@@ -150,17 +150,158 @@ def pose_magnitude(T):
     return jnp.linalg.norm(t, axis=-1), theta
 
 
+@partial(jax.jit, static_argnames=("mcfg", "img_hw", "use_calib", "scfg"))
+def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
+               T_WCf_init, T_WCk, K, img_hw, use_calib, scfg):
+    """The ENTIRE per-frame tracking computation as ONE XLA program.
+
+    encode → cross-decode + heads → iterative-projection match → fused
+    confidences → validity masks → Sim(3) GN pose solve → keyframe pointmap
+    fusion → keyframe-selection statistics → quality-job tensors. One
+    program per frame matters twice: program switches are expensive on
+    remote-attached chips (~20 ms each), and XLA optimizes across stage
+    boundaries it can see.
+
+    ``scfg`` is a hashable tuple of solver/config scalars (see
+    FrameTracker._scfg). Returns a dict of device arrays; all control-flow
+    decisions (skip/reloc/new-keyframe) happen on the host afterwards.
+    """
+    from mast3r_slam_tpu.models import mast3r as M
+
+    (sigma_ray, sigma_dist, sigma_pixel, sigma_depth, huber_k, max_iters,
+     rel_error, delta_norm, C_conf, Q_conf, pixel_border, depth_eps,
+     match_max_iter, match_lambda, match_conv, match_dist, match_radius,
+     match_dilation, filtering_mode) = scfg
+    H, W = img_hw
+    n = H * W
+
+    # -- model ---------------------------------------------------------------
+    feat_f, pos_f = M.encode_image(params, mcfg, img)
+    d1, d2 = M.decode_pair(params, mcfg, feat_f, pos_f, feat_k, pos_k)
+    res_ff = M.downstream_head(params["head1"], mcfg, d1, img_hw)
+    res_kf = M.downstream_head(params["head2"], mcfg, d2, img_hw)
+    Xff = res_ff["pts3d"].reshape(1, n, 3)
+    Cff = res_ff["conf"].reshape(1, n, 1)
+    Qff = res_ff["desc_conf"].reshape(n)
+    Xkf = res_kf["pts3d"].reshape(1, n, 3)
+    Ckf = res_kf["conf"].reshape(1, n, 1)
+    Qkf = res_kf["desc_conf"].reshape(n)
+
+    # -- matching -------------------------------------------------------------
+    idx_f2k, valid_match = matching.match(
+        res_ff["pts3d"], res_kf["pts3d"], res_ff["desc"], res_kf["desc"],
+        idx_1_to_2_init=idx_init,
+        max_iter=match_max_iter, lambda_init=match_lambda,
+        convergence_thresh=match_conv, dist_thresh=match_dist,
+        radius=match_radius, dilation_max=match_dilation,
+    )
+    idx0 = idx_f2k[0]
+    vmatch = valid_match[0]                                   # (n, 1)
+    Qk = jnp.sqrt(Qff[idx0] * Qkf)[:, None]                   # (n, 1)
+
+    # -- masks / coverage ------------------------------------------------------
+    Cf_avg = Cff[0]
+    Ck_avg = C_k / jnp.maximum(N_k, 1.0)
+    Xf_all = Xff[0]
+    Xk_can = X_k
+
+    meas_k = valid_meas_k = None
+    if use_calib:
+        Xf_all = geometry.constrain_points_to_ray(img_hw, Xf_all, K)
+        Xk_can = geometry.constrain_points_to_ray(img_hw, Xk_can, K)
+        uv_k = geometry.get_pixel_coords(img_hw, dtype=Xf_all.dtype)
+        valid_meas_k = Xk_can[..., 2:3] > depth_eps
+        logz = jnp.where(valid_meas_k,
+                         jnp.log(jnp.clip(Xk_can[..., 2:3], 1e-12)), 0.0)
+        meas_k = jnp.where(valid_meas_k,
+                           jnp.concatenate([uv_k, logz], axis=-1), 0.0)
+
+    Xf = Xf_all[idx0]
+    Cf = Cf_avg[idx0]
+    valid_opt = (vmatch & (Cf > C_conf) & (Ck_avg > C_conf) & (Qk > Q_conf))
+    valid_kf = vmatch & (Qk > Q_conf)
+    match_frac = jnp.mean(valid_opt.astype(jnp.float32))
+
+    # -- pose solve -------------------------------------------------------------
+    if not use_calib:
+        T_WCf_new, T_CkCf, ok = opt_pose_ray_dist_sim3(
+            Xf, Xk_can, T_WCf_init, T_WCk, Qk, valid_opt.astype(Xf.dtype),
+            sigma_ray, sigma_dist, huber_k, max_iters, rel_error, delta_norm,
+        )
+    else:
+        T_WCf_new, T_CkCf, ok = opt_pose_calib_sim3(
+            Xf, Xk_can, T_WCf_init, T_WCk, Qk, valid_opt.astype(Xf.dtype),
+            meas_k, valid_meas_k, K, img_hw,
+            sigma_pixel, sigma_depth, huber_k, max_iters, rel_error,
+            delta_norm, pixel_border, depth_eps,
+        )
+
+    # -- keyframe pointmap fusion (frame obs mapped into keyframe frame) -------
+    Xkk = lie.act(T_CkCf[None], Xkf[0])
+    if filtering_mode == "weighted_pointmap":
+        X_k_new = (C_k * X_k + Ckf[0] * Xkk) / (C_k + Ckf[0])
+        C_k_new = C_k + Ckf[0]
+        N_k_new = N_k + 1.0
+    elif filtering_mode == "recent":
+        X_k_new, C_k_new, N_k_new = Xkk, Ckf[0], 1.0
+    elif filtering_mode == "indep_conf":
+        better = Ckf[0] > C_k
+        X_k_new = jnp.where(better, Xkk, X_k)
+        C_k_new = jnp.where(better, Ckf[0], C_k)
+        N_k_new = 1.0
+    else:  # "first" and best_score degenerate to keeping the keyframe map
+        X_k_new, C_k_new, N_k_new = X_k, C_k, N_k
+
+    # -- keyframe-selection statistics -----------------------------------------
+    match_frac_k = jnp.mean(valid_kf.astype(jnp.float32))
+    hit = jnp.zeros((n,), jnp.float32).at[
+        jnp.where(vmatch[:, 0], idx0, 0)
+    ].max(jnp.where(vmatch[:, 0], 1.0, 0.0))
+    unique_frac_f = jnp.sum(hit) / n
+
+    # -- quality-job tensors (reference tracker.py:95-145) ----------------------
+    Xf_Ck = lie.act(T_CkCf[None], Xf)
+    if use_calib:
+        pzf, valid_proj = geometry.project_calib(Xf_Ck, K, img_hw)
+        d = meas_k - pzf
+        lam = (sigma_pixel ** 2) / (sigma_depth ** 2 + 1e-8)
+        r_pix = jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2 + lam * d[..., 2] ** 2)
+        valid_submit = (valid_kf & valid_proj & valid_meas_k)[..., 0]
+    else:
+        rd_k = geometry.point_to_ray_dist(Xk_can)
+        rd_f = geometry.point_to_ray_dist(Xf_Ck)
+        r_pix = jnp.linalg.norm(rd_k - rd_f, axis=-1)
+        valid_submit = valid_kf[..., 0]
+    t_norm, theta = pose_magnitude(T_CkCf)
+
+    return {
+        "feat_f": feat_f, "pos_f": pos_f,
+        "X_frame": Xff[0], "C_frame": Cff[0],
+        "idx_f2k": idx_f2k, "valid_match": vmatch,
+        "Qk": Qk, "Qkf": Qkf[:, None][None], "Qff": Qff[:, None][None],
+        "T_WCf": T_WCf_new, "T_CkCf": T_CkCf, "ok": ok,
+        "match_frac": match_frac,
+        "X_k_new": X_k_new, "C_k_new": C_k_new,
+        "N_k_new": jnp.asarray(N_k_new, jnp.float32),
+        "match_frac_k": match_frac_k, "unique_frac_f": unique_frac_f,
+        "Ck_avg": Ck_avg, "r_pix": r_pix, "valid_submit": valid_submit,
+        "t_norm": t_norm, "theta": theta,
+    }
+
+
 class FrameTracker:
     """Drives per-frame tracking: model match → masks → pose solve → fusion.
 
     API parity with the reference FrameTracker: ``track(frame)`` returns
-    ``(new_kf, match_info, try_reloc)``.
+    ``(new_kf, match_info, try_reloc)``. The whole device computation runs
+    as the single :func:`track_core` program.
     """
 
     def __init__(self, model, keyframes, cfg, quality_service=None):
         self.model = model              # models.inference.MASt3RInference
         self.keyframes = keyframes
         self.cfg = cfg["tracking"]
+        self.match_cfg = cfg.get("matching", {})
         self.use_calib = cfg["use_calib"]
         self.full_cfg = cfg
         self.quality_service = quality_service
@@ -169,158 +310,103 @@ class FrameTracker:
     def reset_idx_f2k(self):
         self.idx_f2k = None
 
+    def _scfg(self):
+        """Hashable solver/matcher config tuple for the jitted core."""
+        c, m = self.cfg, self.match_cfg
+        return (
+            float(c["sigma_ray"]), float(c["sigma_dist"]),
+            float(c["sigma_pixel"]), float(c["sigma_depth"]),
+            float(c["huber"]), int(c["max_iters"]), float(c["rel_error"]),
+            float(c["delta_norm"]), float(c["C_conf"]), float(c["Q_conf"]),
+            float(c["pixel_border"]), float(c["depth_eps"]),
+            int(m.get("max_iter", 10)), float(m.get("lambda_init", 1e-8)),
+            float(m.get("convergence_thresh", 1e-6)),
+            float(m.get("dist_thresh", 0.1)), int(m.get("radius", 3)),
+            int(m.get("dilation_max", 5)), str(c["filtering_mode"]),
+        )
+
     def track(self, frame: Frame):
         cfg = self.cfg
-        keyframe = self.keyframes.last_keyframe()
+        kfs = self.keyframes
+        kf_idx = len(kfs) - 1
+        with kfs.lock:
+            feat_k = kfs.feat[kf_idx][None]
+            pos_k = kfs.pos[kf_idx][None]
+            X_k = kfs.X[kf_idx]
+            C_k = kfs.C[kf_idx]
+            N_k = float(kfs.N[kf_idx])
+            T_WCk = kfs.T_WC[kf_idx]
+            kf_frame_id = int(kfs.dataset_idx[kf_idx])
 
-        (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf) = (
-            self.model.match_asymmetric(frame, keyframe, idx_i2j_init=self.idx_f2k)
+        n = kfs.h * kfs.w
+        idx_init = (self.idx_f2k if self.idx_f2k is not None
+                    else jnp.broadcast_to(jnp.arange(n)[None], (1, n)))
+        K = kfs.K if self.use_calib else jnp.eye(3)
+        img_hw = (kfs.h, kfs.w)
+
+        out = track_core(
+            self.model.params, self.model.cfg, frame.img[None], feat_k,
+            pos_k, idx_init, X_k, C_k, jnp.asarray(N_k), frame.T_WC, T_WCk,
+            K, img_hw, bool(self.use_calib), self._scfg(),
         )
-        self.idx_f2k = idx_f2k
-        idx0 = idx_f2k[0]
-        valid_match = valid_match_k[0]
 
-        Qk = fused_match_confidence(Qff[0], idx0, Qkf[0])
+        # ---- host-side decisions on the (single) program's outputs ----
+        self.idx_f2k = out["idx_f2k"]
+        frame.feat = out["feat_f"]
+        frame.pos = out["pos_f"]
+        frame.X_canon = out["X_frame"]
+        frame.C = out["C_frame"]
+        frame.N = frame.N_updates = 1
 
-        frame.update_pointmap(Xff[0], Cff[0], cfg["filtering_mode"],
-                              cfg["filtering_score"])
-
-        img_size = frame.img_true_shape
-        K = self.keyframes.K if self.use_calib else None
-
-        Xf, Xk, T_WCf, T_WCk, Cf, Ck, meas_k, valid_meas_k = self._points_poses(
-            frame, keyframe, idx0, img_size, K
-        )
-
-        valid_opt = (
-            valid_match
-            & (Cf > cfg["C_conf"])
-            & (Ck > cfg["C_conf"])
-            & (Qk > cfg["Q_conf"])
-        )
-        valid_kf = valid_match & (Qk > cfg["Q_conf"])
-
-        match_frac = float(jnp.mean(valid_opt.astype(jnp.float32)))
-        if match_frac < cfg["min_match_frac"]:
+        if float(out["match_frac"]) < cfg["min_match_frac"]:
             print(f"Skipped frame {frame.frame_id}")
             return False, [], True
-
-        if not self.use_calib:
-            T_WCf_new, T_CkCf, ok = opt_pose_ray_dist_sim3(
-                Xf, Xk, T_WCf, T_WCk, Qk, valid_opt.astype(Xf.dtype),
-                cfg["sigma_ray"], cfg["sigma_dist"], cfg["huber"],
-                int(cfg["max_iters"]), cfg["rel_error"], cfg["delta_norm"],
-            )
-        else:
-            T_WCf_new, T_CkCf, ok = opt_pose_calib_sim3(
-                Xf, Xk, T_WCf, T_WCk, Qk, valid_opt.astype(Xf.dtype),
-                meas_k, valid_meas_k, K, tuple(int(v) for v in img_size),
-                cfg["sigma_pixel"], cfg["sigma_depth"], cfg["huber"],
-                int(cfg["max_iters"]), cfg["rel_error"], cfg["delta_norm"],
-                cfg["pixel_border"], cfg["depth_eps"],
-            )
-        if not bool(ok):
+        if not bool(out["ok"]):
             print(f"Cholesky failed {frame.frame_id}")
             return False, [], True
 
-        self._submit_quality(
-            frame, keyframe, T_CkCf, Xf, Xk, Ck, Qk, valid_kf, meas_k,
-            valid_meas_k, K, img_size
-        )
+        self._submit_quality_packed(out, kf_idx, kf_frame_id, img_hw)
 
-        frame.T_WC = T_WCf_new
+        frame.T_WC = out["T_WCf"]
 
-        # Update keyframe pointmap with frame observations mapped into its frame.
-        Xkk = lie.act(T_CkCf[None], Xkf[0])
-        keyframe.update_pointmap(Xkk, Ckf[0], cfg["filtering_mode"],
-                                 cfg["filtering_score"])
-        self.keyframes[len(self.keyframes) - 1] = keyframe
+        # Keyframe pointmap fusion write-back (version-checked elsewhere).
+        with kfs.lock:
+            kfs.X = kfs.X.at[kf_idx].set(out["X_k_new"])
+            kfs.C = kfs.C.at[kf_idx].set(out["C_k_new"])
+            kfs.N[kf_idx] = int(float(out["N_k_new"]))
+            kfs.N_updates[kf_idx] += 1
+            kfs.is_dirty[kf_idx] = True
 
         # Keyframe selection: low coverage in either direction spawns a new KF.
-        n_valid = float(jnp.sum(valid_kf.astype(jnp.float32)))
-        match_frac_k = n_valid / valid_kf.size
-        unique = np.unique(np.asarray(idx0)[np.asarray(valid_match[:, 0])]).size
-        unique_frac_f = unique / valid_kf.size
-        new_kf = min(match_frac_k, unique_frac_f) < cfg["match_frac_thresh"]
+        new_kf = min(float(out["match_frac_k"]),
+                     float(out["unique_frac_f"])) < cfg["match_frac_thresh"]
         if new_kf:
             self.reset_idx_f2k()
 
         return (
             new_kf,
-            [
-                keyframe.X_canon,
-                keyframe.get_average_conf(),
-                frame.X_canon,
-                frame.get_average_conf(),
-                Qkf,
-                Qff,
-            ],
+            [out["X_k_new"], out["C_k_new"], frame.X_canon, frame.C,
+             out["Qkf"], out["Qff"]],
             False,
         )
 
-    def _points_poses(self, frame, keyframe, idx_f2k, img_size, K):
-        Xf = frame.X_canon
-        Xk = keyframe.X_canon
-        T_WCf = frame.T_WC
-        T_WCk = keyframe.T_WC
-        Cf = frame.get_average_conf()
-        Ck = keyframe.get_average_conf()
-
-        meas_k = None
-        valid_meas_k = None
-        if self.use_calib:
-            img_size = tuple(int(v) for v in img_size)
-            Xf = geometry.constrain_points_to_ray(img_size, Xf, K)
-            Xk = geometry.constrain_points_to_ray(img_size, Xk, K)
-            uv_k = geometry.get_pixel_coords(img_size, dtype=Xf.dtype)
-            valid_meas_k = Xk[..., 2:3] > self.cfg["depth_eps"]
-            logz = jnp.where(valid_meas_k, jnp.log(jnp.clip(Xk[..., 2:3], 1e-12)), 0.0)
-            meas_k = jnp.concatenate([uv_k, logz], axis=-1)
-            meas_k = jnp.where(valid_meas_k, meas_k, 0.0)
-
-        return Xf[idx_f2k], Xk, T_WCf, T_WCk, Cf[idx_f2k], Ck, meas_k, valid_meas_k
-
-    def _submit_quality(self, frame, keyframe, T_CkCf, Xf, Xk, Ck, Qk, valid_kf,
-                        meas_k, valid_meas_k, K, img_size):
-        """Assemble and enqueue the pointmap-quality job (reference
+    def _submit_quality_packed(self, out, kf_idx, kf_frame_id, img_hw):
+        """Enqueue the quality job from track_core outputs (reference
         tracker.py:95-145); no-op without a quality service."""
         if self.quality_service is None:
             return
         try:
-            Xf_Ck = lie.act(T_CkCf[None], Xf)
-            if self.use_calib:
-                pzf, valid_proj = geometry.project_calib(
-                    Xf_Ck, K, tuple(int(v) for v in img_size)
-                )
-                d = meas_k - pzf
-                lam = (self.cfg["sigma_pixel"] ** 2) / (
-                    self.cfg["sigma_depth"] ** 2 + 1e-8
-                )
-                r_pix = jnp.sqrt(
-                    d[..., 0] ** 2 + d[..., 1] ** 2 + lam * d[..., 2] ** 2
-                )
-                valid_submit = (valid_kf & valid_proj & valid_meas_k)[..., 0]
-            else:
-                rd_k = geometry.point_to_ray_dist(Xk)
-                rd_f = geometry.point_to_ray_dist(Xf_Ck)
-                r_pix = jnp.linalg.norm(rd_k - rd_f, axis=-1)
-                valid_submit = valid_kf[..., 0]
-
-            t_norm, theta = pose_magnitude(T_CkCf)
-            H, W = (int(v) for v in img_size)
-            self.quality_service.submit(
-                {
-                    "kf_id": len(self.keyframes) - 1,
-                    "frame_id": int(keyframe.frame_id),
-                    "H": H,
-                    "W": W,
-                    "valid_kf": np.asarray(valid_submit),
-                    "r_pix": np.asarray(r_pix).reshape(-1),
-                    "Ck": np.asarray(Ck).reshape(-1),
-                    "Qk": np.asarray(Qk).reshape(-1),
-                    "t_norm": float(t_norm),
-                    "theta": float(theta),
-                }
-            )
+            H, W = img_hw
+            self.quality_service.submit({
+                "kf_id": kf_idx,
+                "frame_id": kf_frame_id,
+                "H": H, "W": W,
+                "valid_kf": np.asarray(out["valid_submit"]),
+                "r_pix": np.asarray(out["r_pix"]).reshape(-1),
+                "Ck": np.asarray(out["Ck_avg"]).reshape(-1),
+                "Qk": np.asarray(out["Qk"]).reshape(-1),
+                "t_norm": float(out["t_norm"]),
+                "theta": float(out["theta"]),
+            })
         except Exception as e:  # quality is best-effort; never break tracking
             print(f"ERROR in quality submission: {e}")
