@@ -53,14 +53,16 @@ class MASt3RInference:
     # -- inference ---------------------------------------------------------
 
     def inference_mono(self, frame):
-        """Self-pair decode → flattened (Xii (1, N, 3), Cii (1, N, 1))."""
-        feat, pos = self.encode_frame(frame)
-        res1, _ = M.decode_heads(
-            self.params, self.cfg, feat, pos, feat, pos, frame.img_true_shape
+        """Self-pair decode → flattened (Xii (1, N, 3), Cii (1, N, 1)).
+
+        One fused program (encode + self-decode + head); also populates
+        ``frame.feat``/``frame.pos``.
+        """
+        feat, pos, X, C = _mono_core(
+            self.params, self.cfg, frame.img[None], frame.img_true_shape
         )
-        b, h, w, _ = res1["pts3d"].shape
-        X = res1["pts3d"].reshape(b, h * w, 3)
-        C = res1["conf"].reshape(b, h * w, 1)
+        frame.feat = feat
+        frame.pos = pos
         return X, C
 
     def asymmetric_inference(self, frame_i, frame_j):
@@ -185,6 +187,17 @@ class MASt3RInference:
             radius=int(c.get("radius", 3)),
             dilation_max=int(c.get("dilation_max", 5)),
         )
+
+
+@partial(jax.jit, static_argnames=("cfg", "img_hw"))
+def _mono_core(params, cfg, img, img_hw):
+    """Fused mono inference: encode + self-pair decode + head1."""
+    feat, pos = M.encode_image(params, cfg, img)
+    d1, _ = M.decode_pair(params, cfg, feat, pos, feat, pos)
+    res1 = M.downstream_head(params["head1"], cfg, d1, img_hw)
+    b, h, w, _ = res1["pts3d"].shape
+    return (feat, pos, res1["pts3d"].reshape(b, h * w, 3),
+            res1["conf"].reshape(b, h * w, 1))
 
 
 @partial(jax.jit, static_argnames=("cfg", "img_hw"))

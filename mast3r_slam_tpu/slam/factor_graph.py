@@ -141,31 +141,69 @@ def _edge_terms_calib(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K,
     return r, Ji, Jj, w
 
 
-def _assemble_and_solve(r, Ji, Jj, w, ii, jj, free_mask, cap, damping):
-    """Scatter per-edge blocks into the dense (cap*7, cap*7) system and solve.
-
-    Pinned/inactive poses scatter into a trash slot and get identity rows, so
-    their update is exactly zero. Returns ``dx (cap, 7)``.
-    """
-    # Per-edge 7x7 blocks and 7-gradients.
+def _edge_blocks(r, Ji, Jj, w):
+    """Per-edge 7x7 Hessian blocks and 7-gradients from residual terms."""
     Hii = jnp.einsum("enka,enk,enkb->eab", Ji, w, Ji)
     Hjj = jnp.einsum("enka,enk,enkb->eab", Jj, w, Jj)
     Hij = jnp.einsum("enka,enk,enkb->eab", Ji, w, Jj)
     gi = -jnp.einsum("enka,enk,enk->ea", Ji, w, r)
     gj = -jnp.einsum("enka,enk,enk->ea", Jj, w, r)
+    return Hii, Hjj, Hij, gi, gj
 
+
+def _scatter_blocks(H, g, blocks, ii, jj, free_mask, cap):
+    """Scatter per-edge blocks into the dense system (trash slot = cap)."""
+    Hii, Hjj, Hij, gi, gj = blocks
     slot_i = jnp.where(free_mask[ii], ii, cap)
     slot_j = jnp.where(free_mask[jj], jj, cap)
-
-    H = jnp.zeros((cap + 1, 7, cap + 1, 7), dtype=r.dtype)
     H = H.at[slot_i, :, slot_i, :].add(Hii)
     H = H.at[slot_j, :, slot_j, :].add(Hjj)
     H = H.at[slot_i, :, slot_j, :].add(Hij)
     H = H.at[slot_j, :, slot_i, :].add(jnp.swapaxes(Hij, -1, -2))
-    g = jnp.zeros((cap + 1, 7), dtype=r.dtype)
     g = g.at[slot_i].add(gi)
     g = g.at[slot_j].add(gj)
+    return H, g
 
+
+# Edges are processed in chunks of this size inside a lax.scan: the per-edge
+# residual/Jacobian tensors are (chunk, n_pix, 4, 7) — at 196k pixels a chunk
+# of 8 bounds the transient to ~180 MB instead of materializing all edges
+# (~2.7 GB at a 128-edge bucket, an OOM on 16 GB HBM).
+_EDGE_CHUNK = 8
+
+
+def _accumulate_system(terms_fn, ii, jj, idx, valid, Q, edge_mask, free_mask,
+                       cap, dtype):
+    """Chunked scan over edges accumulating the dense normal equations."""
+    E = ii.shape[0]
+    chunk = min(_EDGE_CHUNK, E)
+    n_chunks = E // chunk
+    H0 = jnp.zeros((cap + 1, 7, cap + 1, 7), dtype=dtype)
+    g0 = jnp.zeros((cap + 1, 7), dtype=dtype)
+
+    def body(carry, sl):
+        H, g = carry
+        ii_c, jj_c, idx_c, valid_c, Q_c, mask_c = sl
+        r, Ji, Jj, w = terms_fn(ii_c, jj_c, idx_c, valid_c, Q_c)
+        w = w * mask_c[:, None, None]
+        H, g = _scatter_blocks(H, g, _edge_blocks(r, Ji, Jj, w),
+                               ii_c, jj_c, free_mask, cap)
+        return (H, g), None
+
+    sl = (
+        ii.reshape(n_chunks, chunk),
+        jj.reshape(n_chunks, chunk),
+        idx.reshape(n_chunks, chunk, -1),
+        valid.reshape(n_chunks, chunk, -1, 1),
+        Q.reshape(n_chunks, chunk, -1, 1),
+        edge_mask.reshape(n_chunks, chunk),
+    )
+    (H, g), _ = lax.scan(body, (H0, g0), sl)
+    return H, g
+
+
+def _solve_system(H, g, free_mask, cap, damping):
+    """Dense Cholesky of the accumulated system. Returns ``dx (cap, 7)``."""
     Hd = H[:cap, :, :cap, :].reshape(cap * 7, cap * 7)
     gd = g[:cap].reshape(cap * 7)
 
@@ -198,12 +236,16 @@ def gauss_newton_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
 
     def body(state):
         T, it, _ = state
-        r, Ji, Jj, w = _edge_terms_rays(
-            T, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
-            sigma_ray, sigma_dist, C_thresh, Q_thresh,
-        )
-        w = w * edge_mask[:, None, None]
-        dx = _assemble_and_solve(r, Ji, Jj, w, ii, jj, free_mask, cap, damping)
+
+        def terms(ii_c, jj_c, idx_c, valid_c, Q_c):
+            return _edge_terms_rays(
+                T, X, Cavg, ii_c, jj_c, idx_c, valid_c, Q_c,
+                sigma_ray, sigma_dist, C_thresh, Q_thresh,
+            )
+
+        H, g = _accumulate_system(terms, ii, jj, idx_ii2jj, valid_match, Q,
+                                  edge_mask, free_mask, cap, T.dtype)
+        dx = _solve_system(H, g, free_mask, cap, damping)
         T_new = jax.vmap(lie.retr)(T, dx)
         delta = jnp.linalg.norm(dx)
         return T_new, it + 1, delta
@@ -228,12 +270,17 @@ def gauss_newton_calib(T_WC, X, Cavg, K, ii, jj, idx_ii2jj, valid_match, Q,
 
     def body(state):
         T, it, _ = state
-        r, Ji, Jj, w = _edge_terms_calib(
-            T, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K, img_size,
-            pixel_border, z_eps, sigma_pixel, sigma_depth, C_thresh, Q_thresh,
-        )
-        w = w * edge_mask[:, None, None]
-        dx = _assemble_and_solve(r, Ji, Jj, w, ii, jj, free_mask, cap, damping)
+
+        def terms(ii_c, jj_c, idx_c, valid_c, Q_c):
+            return _edge_terms_calib(
+                T, X, Cavg, ii_c, jj_c, idx_c, valid_c, Q_c, K, img_size,
+                pixel_border, z_eps, sigma_pixel, sigma_depth, C_thresh,
+                Q_thresh,
+            )
+
+        H, g = _accumulate_system(terms, ii, jj, idx_ii2jj, valid_match, Q,
+                                  edge_mask, free_mask, cap, T.dtype)
+        dx = _solve_system(H, g, free_mask, cap, damping)
         T_new = jax.vmap(lie.retr)(T, dx)
         delta = jnp.linalg.norm(dx)
         return T_new, it + 1, delta
