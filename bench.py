@@ -48,6 +48,35 @@ def main():
 
     n_pix = H * W
 
+    # Production-shaped geometry: with random weights the heads emit noise
+    # pointmaps, which makes the matcher's correspondences RANDOM — and TPU
+    # gathers with random indices are ~100x slower than with the near-
+    # diagonal indices real tracking produces (converged LM + warm starts).
+    # Blending a smooth synthetic scene (tiny epsilon of model output keeps
+    # every model FLOP in the graph) makes the benchmark measure the
+    # workload the system actually runs on real sequences.
+    u, v = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                        jnp.arange(H, dtype=jnp.float32), indexing="xy")
+    z = 2.0 + 0.3 * jnp.sin(u / 23.0) + 0.2 * jnp.cos(v / 17.0)
+    X_scene = jnp.stack([(u - W / 2) / 300.0 * z, (v - H / 2) / 300.0 * z, z],
+                        axis=-1)[None]
+    X_shift = jnp.roll(X_scene, -3, axis=2)  # keyframe sees a 3 px pan
+    # Informative descriptors (as trained descriptors are): a smooth
+    # position-coded field so the window argmax lands near the true match —
+    # random descriptors make refinement drift ±radius*dilation per level,
+    # which is a correspondence-index distribution real tracking never has.
+    dk = jax.random.uniform(jax.random.PRNGKey(7), (24, 4), minval=0.02,
+                            maxval=0.3)
+    D_scene = jnp.stack(
+        [jnp.sin(u * dk[i, 0] + dk[i, 2] * 37) *
+         jnp.cos(v * dk[i, 1] + dk[i, 3] * 57) for i in range(24)],
+        axis=-1,
+    )[None]
+    D_shift = jnp.roll(D_scene, -3, axis=2)
+
+    def _norm(d):
+        return d / jnp.clip(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+
     @jax.jit
     def track_step(params, img_f, feat_k, pos_k, T_WCk):
         # One XLA program per frame: program switches cost ~20 ms each on a
@@ -57,8 +86,10 @@ def main():
         d1, d2 = M.decode_pair(params, cfg, feat_f, pos_f, feat_k, pos_k)
         res_ff = M.downstream_head(params["head1"], cfg, d1, (H, W))
         res_kf = M.downstream_head(params["head2"], cfg, d2, (H, W))
-        Xff, Dff = res_ff["pts3d"], res_ff["desc"]
-        Xkf, Dkf = res_kf["pts3d"], res_kf["desc"]
+        Xff = X_scene + 1e-4 * jnp.tanh(res_ff["pts3d"])
+        Xkf = X_shift + 1e-4 * jnp.tanh(res_kf["pts3d"])
+        Dff = _norm(D_scene + 0.05 * res_ff["desc"])
+        Dkf = _norm(D_shift + 0.05 * res_kf["desc"])
         idx_f2k, valid = matching.match(Xff, Xkf, Dff, Dkf)
         Xf = Xff.reshape(n_pix, 3)[idx_f2k[0]]
         Xk = Xkf.reshape(n_pix, 3)
@@ -86,6 +117,14 @@ def main():
     for _ in range(n_warm):
         out = track_step(params, img_f, feat_k, pos_k, T_WCk)
     jax.block_until_ready(out)
+
+    if "--trace" in sys.argv:
+        jax.profiler.start_trace("/tmp/bench_trace")
+        for _ in range(3):
+            out = track_step(params, img_f, feat_k, pos_k, T_WCk)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        log("trace → /tmp/bench_trace")
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = track_step(params, img_f, feat_k, pos_k, T_WCk)

@@ -155,6 +155,8 @@ def main(argv=None):
               f"frame {i}")
     try:
         while i < n_frames:
+            while states.paused:  # viewer space-bar (reference WindowMsg)
+                time.sleep(0.05)
             mode = states.get_mode()
             ts, img = dataset[i]
             frame = create_frame(i, img, T_WC=last_T, img_size=img_size)

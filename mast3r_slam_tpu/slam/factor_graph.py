@@ -40,23 +40,69 @@ from mast3r_slam_tpu.ops.robust import huber
 # Jitted GN core
 # ---------------------------------------------------------------------------
 
-def _point_pose_jacobian(rd_jac, Xp):
-    """Compose residual/point Jacobian with the local Sim3 point Jacobian.
+def _local_point_jac_channels(Xp):
+    """Local Sim3 point Jacobian ``[I | -skew(X') | X']`` as a 3x7 nested
+    list of ``(E, N)`` channel arrays (channels-first for lane efficiency)."""
+    x, y, z = Xp[..., 0], Xp[..., 1], Xp[..., 2]
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    return [
+        [one, zero, zero, zero, z, -y, x],
+        [zero, one, zero, -z, zero, x, y],
+        [zero, zero, one, y, -x, zero, z],
+    ]
 
-    ``rd_jac (..., D, 3)``, ``Xp (..., 3)`` → ``(..., D, 7)``.
+
+def _compose_channels(d_res, d_pt):
+    """(D x 3) ∘ (3 x 7) channel-list composition → D x 7 channel lists."""
+    return [
+        [
+            d_res[i][0] * d_pt[0][k] + d_res[i][1] * d_pt[1][k]
+            + d_res[i][2] * d_pt[2][k]
+            for k in range(7)
+        ]
+        for i in range(len(d_res))
+    ]
+
+
+def _edge_local_system(r, Jl, w, adj_inv):
+    """Per-edge LOCAL normal equations → world-frame blocks for pose j.
+
+    ``r, w``: length-D lists of ``(E, N)``; ``Jl``: D x 7 channel lists
+    (Jacobian of the residual w.r.t. a LEFT perturbation of the relative pose
+    at frame i, i.e. BEFORE the adjoint map). TPU layout rationale: channel
+    lists keep N in lanes (the (E, N, D, 7) array layout wastes 95% of each
+    lane vector — measured 6.7 ms/GN-iter in the tracker before the same
+    rewrite). The 7x7 local blocks are built by one batched (7, D*N) matmul
+    per edge chunk, then transformed once per EDGE with the adjoint sandwich
+    ``H_j = Adjᵀ H_local Adj`` instead of per PIXEL — and since
+    ``J_i = -J_j`` exactly, the (ii, ij, jj) blocks are ``(H, -H, H)`` and
+    ``g_i = -g_j``, halving the remaining work.
     """
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=Xp.dtype), Xp.shape[:-1] + (3, 3))
-    Dp = jnp.concatenate([eye, -lie.skew(Xp), Xp[..., :, None]], axis=-1)
-    return rd_jac @ Dp
+    D = len(r)
+    E = r[0].shape[0]
+    A = jnp.stack([
+        jnp.concatenate([w[i] * Jl[i][k] for i in range(D)], axis=-1)
+        for k in range(7)
+    ])                                            # (7, E, D*N) — w = sqrt-weights
+    bf = jnp.concatenate([w[i] * r[i] for i in range(D)], axis=-1)  # (E, D*N)
+    H_local = jax.lax.dot_general(
+        A, A, (((2,), (2,)), ((1,), (1,))), preferred_element_type=jnp.float32
+    )                                             # (E, 7, 7)
+    g_local = jnp.einsum("aen,en->ea", A, bf)     # (E, 7)
+    # world-frame pose-j blocks: Jj = Jl @ adj_inv
+    H = jnp.einsum("eab,eac,ecd->ebd", adj_inv, H_local, adj_inv)
+    g = jnp.einsum("eab,ea->eb", adj_inv, g_local)
+    return H, g
 
 
 def _edge_terms_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
                      sigma_ray, sigma_dist, C_thresh, Q_thresh):
-    """Residuals/Jacobians/weights for ray+dist alignment along each edge.
+    """Ray+dist residual channels for each edge (channels-first).
 
     For edge (i, j): pixel k of keyframe j matches pixel ``idx_ii2jj[e, k]``
     of keyframe i; residual compares unit rays + distances in frame i.
-    Returns ``r (E,N,4)``, ``Ji, Jj (E,N,4,7)``, ``w (E,N,4)``.
+    Returns ``(r, Jl, sw, adj_inv)`` for :func:`_edge_local_system`.
     """
     Ti = T_WC[ii]                                 # (E, 8)
     Tj = T_WC[jj]
@@ -70,14 +116,21 @@ def _edge_terms_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
     Cj = Cavg[jj][..., 0]
 
     Xj_Ci = lie.act(Tij[:, None, :], Xj)
-    rd_i = geometry.point_to_ray_dist(Xi)
-    rd_j, rd_jac = geometry.point_to_ray_dist(Xj_Ci, jacobian=True)
-    r = rd_j - rd_i                               # (E, N, 4) — predicted minus measured
-
-    Jlocal = _point_pose_jacobian(rd_jac, Xj_Ci)  # (E, N, 4, 7)
-    adj_inv = lie.adjoint(lie.inv(Ti))            # (E, 7, 7)
-    Jj = jnp.einsum("enka,eab->enkb", Jlocal, adj_inv)
-    Ji = -Jj
+    x, y, z = Xj_Ci[..., 0], Xj_Ci[..., 1], Xj_Ci[..., 2]
+    d = jnp.sqrt(x * x + y * y + z * z)
+    d_inv = 1.0 / d
+    rx, ry, rz = x * d_inv, y * d_inv, z * d_inv
+    di = jnp.linalg.norm(Xi, axis=-1)
+    # r = predicted - measured (per channel)
+    r = [rx - Xi[..., 0] / jnp.maximum(di, 1e-12),
+         ry - Xi[..., 1] / jnp.maximum(di, 1e-12),
+         rz - Xi[..., 2] / jnp.maximum(di, 1e-12),
+         d - di]
+    rr = (rx, ry, rz)
+    drd = [[d_inv * ((1.0 if a == b else 0.0) - rr[a] * rr[b])
+            for b in range(3)] for a in range(3)]
+    drd.append([rx, ry, rz])
+    Jl = _compose_channels(drd, _local_point_jac_channels(Xj_Ci))
 
     q = Q[..., 0]
     valid = (
@@ -89,15 +142,15 @@ def _edge_terms_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
     conf = jnp.where(valid, q, 0.0)
     sw_ray = jnp.sqrt(conf) / sigma_ray
     sw_dist = jnp.sqrt(conf) / sigma_dist
-    sw = jnp.stack([sw_ray, sw_ray, sw_ray, sw_dist], axis=-1)  # (E, N, 4)
-    w = huber(sw * r) * sw * sw
-    return r, Ji, Jj, w
+    sw = [sw_ray, sw_ray, sw_ray, sw_dist]
+    adj_inv = lie.adjoint(lie.inv(Ti))            # (E, 7, 7)
+    return r, Jl, sw, adj_inv
 
 
 def _edge_terms_calib(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K,
                       img_size, pixel_border, z_eps,
                       sigma_pixel, sigma_depth, C_thresh, Q_thresh):
-    """Residuals/Jacobians/weights for calibrated pixel+logdepth alignment."""
+    """Calibrated pixel+logdepth residual channels (channels-first)."""
     Ti = T_WC[ii]
     Tj = T_WC[jj]
     Tij = lie.compose(lie.inv(Ti), Tj)
@@ -110,19 +163,37 @@ def _edge_terms_calib(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K,
     Cj = Cavg[jj][..., 0]
 
     Xj_Ci = lie.act(Tij[:, None, :], Xj)
-    # Measurement: keyframe i's matched pixel + its log depth.
-    zi = Xi[..., 2:3]
-    valid_zi = zi[..., 0] > z_eps
-    uv_i = geometry.project_calib(Xi, K, img_size, border=-1e9, z_eps=z_eps)[0]
-    pz_j, dpz_dX, valid_proj = geometry.project_calib(
-        Xj_Ci, K, img_size, jacobian=True, border=pixel_border, z_eps=z_eps
-    )
-    r = pz_j - uv_i
+    fx, fy, cx, cy = geometry.decompose_K(K)
+    H_img, W_img = img_size
 
-    Jlocal = _point_pose_jacobian(dpz_dX, Xj_Ci)
-    adj_inv = lie.adjoint(lie.inv(Ti))
-    Jj = jnp.einsum("enka,eab->enkb", Jlocal, adj_inv)
-    Ji = -Jj
+    # Measurement: keyframe i's matched pixel + its log depth.
+    zi = Xi[..., 2]
+    valid_zi = zi > z_eps
+    zi_safe = jnp.where(valid_zi, zi, 1.0)
+    ui = fx * Xi[..., 0] / zi_safe + cx
+    vi = fy * Xi[..., 1] / zi_safe + cy
+
+    x, y, z = Xj_Ci[..., 0], Xj_Ci[..., 1], Xj_Ci[..., 2]
+    valid_z = z > z_eps
+    z_safe = jnp.where(valid_z, z, 1.0)
+    z_inv = 1.0 / z_safe
+    u = fx * x * z_inv + cx
+    v = fy * y * z_inv + cy
+    valid_proj = (
+        valid_z
+        & (u > pixel_border) & (u < W_img - 1 - pixel_border)
+        & (v > pixel_border) & (v < H_img - 1 - pixel_border)
+    )
+    r = [u - ui, v - vi,
+         jnp.where(valid_z, jnp.log(z_safe), 0.0)
+         - jnp.where(valid_zi, jnp.log(zi_safe), 0.0)]
+    zero = jnp.zeros_like(z_inv)
+    dpz = [
+        [fx * z_inv, zero, -fx * x * z_inv * z_inv],
+        [zero, fy * z_inv, -fy * y * z_inv * z_inv],
+        [zero, zero, z_inv],
+    ]
+    Jl = _compose_channels(dpz, _local_point_jac_channels(Xj_Ci))
 
     q = Q[..., 0]
     valid = (
@@ -130,38 +201,32 @@ def _edge_terms_calib(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K,
         & (q > Q_thresh)
         & (Ci > C_thresh)
         & (Cj > C_thresh)
-        & valid_proj[..., 0]
+        & valid_proj
         & valid_zi
     )
     conf = jnp.where(valid, q, 0.0)
     sw_pix = jnp.sqrt(conf) / sigma_pixel
     sw_dep = jnp.sqrt(conf) / sigma_depth
-    sw = jnp.stack([sw_pix, sw_pix, sw_dep], axis=-1)
-    w = huber(sw * r) * sw * sw
-    return r, Ji, Jj, w
+    sw = [sw_pix, sw_pix, sw_dep]
+    adj_inv = lie.adjoint(lie.inv(Ti))
+    return r, Jl, sw, adj_inv
 
 
-def _edge_blocks(r, Ji, Jj, w):
-    """Per-edge 7x7 Hessian blocks and 7-gradients from residual terms."""
-    Hii = jnp.einsum("enka,enk,enkb->eab", Ji, w, Ji)
-    Hjj = jnp.einsum("enka,enk,enkb->eab", Jj, w, Jj)
-    Hij = jnp.einsum("enka,enk,enkb->eab", Ji, w, Jj)
-    gi = -jnp.einsum("enka,enk,enk->ea", Ji, w, r)
-    gj = -jnp.einsum("enka,enk,enk->ea", Jj, w, r)
-    return Hii, Hjj, Hij, gi, gj
+def _scatter_blocks(H, g, He, ge, ii, jj, free_mask, cap):
+    """Scatter per-edge blocks into the dense system (trash slot = cap).
 
-
-def _scatter_blocks(H, g, blocks, ii, jj, free_mask, cap):
-    """Scatter per-edge blocks into the dense system (trash slot = cap)."""
-    Hii, Hjj, Hij, gi, gj = blocks
+    With ``J_i = -J_j`` the four blocks are (ii: +He, jj: +He, ij: -He) and
+    the gradients are ``g_i = +ge``, ``g_j = -ge`` where
+    ``ge = Adjᵀ Jlᵀ W r`` (see :func:`_edge_local_system`).
+    """
     slot_i = jnp.where(free_mask[ii], ii, cap)
     slot_j = jnp.where(free_mask[jj], jj, cap)
-    H = H.at[slot_i, :, slot_i, :].add(Hii)
-    H = H.at[slot_j, :, slot_j, :].add(Hjj)
-    H = H.at[slot_i, :, slot_j, :].add(Hij)
-    H = H.at[slot_j, :, slot_i, :].add(jnp.swapaxes(Hij, -1, -2))
-    g = g.at[slot_i].add(gi)
-    g = g.at[slot_j].add(gj)
+    H = H.at[slot_i, :, slot_i, :].add(He)
+    H = H.at[slot_j, :, slot_j, :].add(He)
+    H = H.at[slot_i, :, slot_j, :].add(-He)
+    H = H.at[slot_j, :, slot_i, :].add(-jnp.swapaxes(He, -1, -2))
+    g = g.at[slot_i].add(ge)
+    g = g.at[slot_j].add(-ge)
     return H, g
 
 
@@ -184,10 +249,13 @@ def _accumulate_system(terms_fn, ii, jj, idx, valid, Q, edge_mask, free_mask,
     def body(carry, sl):
         H, g = carry
         ii_c, jj_c, idx_c, valid_c, Q_c, mask_c = sl
-        r, Ji, Jj, w = terms_fn(ii_c, jj_c, idx_c, valid_c, Q_c)
-        w = w * mask_c[:, None, None]
-        H, g = _scatter_blocks(H, g, _edge_blocks(r, Ji, Jj, w),
-                               ii_c, jj_c, free_mask, cap)
+        r, Jl, sw, adj_inv = terms_fn(ii_c, jj_c, idx_c, valid_c, Q_c)
+        # whitened-Huber sqrt-weights (+ padded-edge mask; binary, so it
+        # passes through the square unchanged)
+        s = [sw[i] * jnp.sqrt(huber(sw[i] * r[i])) * mask_c[:, None]
+             for i in range(len(r))]
+        He, ge = _edge_local_system(r, Jl, s, adj_inv)
+        H, g = _scatter_blocks(H, g, He, ge, ii_c, jj_c, free_mask, cap)
         return (H, g), None
 
     sl = (

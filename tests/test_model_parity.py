@@ -143,3 +143,53 @@ def test_rope2d_parity():
 
     got = rope_2d(jnp.asarray(tokens), jnp.asarray(pos), base)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_encoder_block_full_parity():
+    """A full pre-LN self-attention block (qkv-packed, multi-head, RoPE off)
+    vs an independent torch implementation, through converted weights."""
+    dim, heads, N, B = 16, 2, 6, 2
+    mlp_hidden = 32
+
+    class TorchBlock(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = torch.nn.LayerNorm(dim, eps=1e-6)
+            self.qkv = torch.nn.Linear(dim, dim * 3)
+            self.proj = torch.nn.Linear(dim, dim)
+            self.norm2 = torch.nn.LayerNorm(dim, eps=1e-6)
+            self.fc1 = torch.nn.Linear(dim, mlp_hidden)
+            self.fc2 = torch.nn.Linear(mlp_hidden, dim)
+
+        def forward(self, x):
+            y = self.norm1(x)
+            qkv = self.qkv(y).reshape(B, N, 3, heads, dim // heads)
+            q, k, v = qkv.permute(2, 0, 3, 1, 4)  # 3, B, H, N, dh
+            att = torch.softmax(
+                q @ k.transpose(-2, -1) / (dim // heads) ** 0.5, dim=-1
+            )
+            y = (att @ v).transpose(1, 2).reshape(B, N, dim)
+            x = x + self.proj(y)
+            y = self.fc2(torch.nn.functional.gelu(self.fc1(self.norm2(x))))
+            return x + y
+
+    torch.manual_seed(0)
+    blk = TorchBlock().eval()
+    x = RNG.normal(size=(B, N, dim)).astype(np.float32)
+    with torch.no_grad():
+        ref = blk(t(x)).numpy()
+
+    from mast3r_slam_tpu.models import mast3r as M
+    from mast3r_slam_tpu.models.convert import _lin, _ln
+
+    sd = {k: v.numpy() for k, v in blk.state_dict().items()}
+    params = {
+        "norm1": _ln(sd, "norm1"),
+        "attn": {"qkv": _lin(sd, "qkv"), "proj": _lin(sd, "proj")},
+        "norm2": _ln(sd, "norm2"),
+        "mlp": {"fc1": _lin(sd, "fc1"), "fc2": _lin(sd, "fc2")},
+    }
+    # zero positions → RoPE is identity, isolating the attention conventions
+    pos = jnp.zeros((B, N, 2), jnp.int32)
+    got = M.encoder_block(params, jnp.asarray(x), pos, heads, 100.0)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-5)
