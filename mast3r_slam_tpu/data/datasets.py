@@ -81,10 +81,12 @@ class Intrinsics:
         self.K_frame = self._rescale_to_crop(self.K_undist)
 
     def _rescale_to_crop(self, K):
-        """Map intrinsics through the resize+crop of ``resize_img`` (512)."""
+        """Map intrinsics through the resize+crop of ``resize_img`` at the
+        configured model resolution (dataset.img_size, default 512)."""
+        img_size = int(config.get("dataset", {}).get("img_size", 512))
         probe = np.zeros((self.H, self.W, 3), np.float32)
         _, (scale_w, scale_h, half_w, half_h) = resize_img(
-            probe, 512, return_transformation=True
+            probe, img_size, return_transformation=True
         )
         K2 = K.copy().astype(np.float32)
         K2[0, 0] /= scale_w

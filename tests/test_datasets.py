@@ -106,6 +106,9 @@ def test_rgb_files_and_mp4(tmp_path):
 
 
 def test_intrinsics_rescale_no_distortion():
+    from mast3r_slam_tpu.utils.config import config
+
+    config.setdefault("dataset", {})["img_size"] = 512  # guard global state
     intr = Intrinsics(640, 480, 500.0, 500.0, 320.0, 240.0)
     # 640x480 → 512x384 model crop: scale 0.8
     np.testing.assert_allclose(intr.K_frame[0, 0], 400.0, rtol=1e-3)

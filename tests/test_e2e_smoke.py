@@ -87,6 +87,34 @@ def test_main_end_to_end(synth_dataset, tiny_config_file, tmp_path,
     assert (out / "keyframes").exists()
 
 
+def test_main_end_to_end_calibrated(synth_dataset, tiny_config_file, tmp_path,
+                                    monkeypatch):
+    """The calibrated pipeline (constrain-to-ray, calib GN, K rescaling)."""
+    import yaml
+
+    import main as cli
+
+    cfg = yaml.safe_load(tiny_config_file.read_text())
+    cfg["use_calib"] = True
+    calib_cfg = tiny_config_file.parent / "tiny_calib.yaml"
+    calib_cfg.write_text(yaml.safe_dump(cfg))
+    intr = tiny_config_file.parent / "intr.yaml"
+    intr.write_text(yaml.safe_dump({
+        "width": 640, "height": 480, "fx": 500.0, "fy": 500.0,
+        "cx": 320.0, "cy": 240.0,
+    }))
+
+    monkeypatch.chdir(tmp_path)
+    cli.main([
+        "--dataset", str(synth_dataset),
+        "--config", str(calib_cfg),
+        "--calib", str(intr),
+        "--no-viz", "--save-as", "smoke_calib", "--max-frames", "4",
+    ])
+    out = pathlib.Path("logs") / "smoke_calib" / synth_dataset.name
+    assert (out / f"{synth_dataset.name}.txt").exists()
+
+
 def test_ate_rmse_self():
     """ATE of a trajectory against itself (after Sim3 alignment) is ~0, and a
     known rigid offset is recovered by alignment."""
