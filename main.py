@@ -194,7 +194,8 @@ def main(argv=None):
             if mode == Mode.TRACKING and add_new_kf:
                 keyframes.append(frame)
                 states.queue_global_optimization(len(keyframes) - 1)
-                refiner.maybe_schedule_sliding_window(len(keyframes) - 1)
+                if refiner.is_alive():  # health gate (reference main.py:403-408)
+                    refiner.maybe_schedule_sliding_window(len(keyframes) - 1)
 
             if single_thread:
                 while not backend.idle():

@@ -128,3 +128,87 @@ def test_reloc_failure_rolls_back():
     ok = relocalization(fr, kfs, graph, NoRetrieval(), CFG)
     assert not ok
     assert len(kfs) == n0  # tentative keyframe rolled back
+
+
+def test_global_ba_calib_reduces_pose_error():
+    """Calibrated BA on a pixel-consistent synthetic world.
+
+    The calib solver assumes per-pixel points lie on their own pixel rays
+    (constrain_points_to_ray) — so the fixture renders a fronto-parallel
+    plane at depth 2 seen by x-translated cameras, with TRUE pixel
+    correspondences (a constant 3 px disparity per baseline step).
+    """
+    from mast3r_slam_tpu.ops import geometry
+
+    fx = 60.0
+    K = jnp.asarray([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1.0]])
+    uv = geometry.get_pixel_coords((H, W))
+    X_plane = np.asarray(geometry.backproject(uv, jnp.full((N, 1), 2.0), K))
+
+    tx = [0.0, 0.1, 0.2]  # camera x-translations (world)
+    kfs = KeyframeBuffer(H, W, capacity=8, feat_dim=8)
+    for i, t in enumerate(tx):
+        fr = Frame(frame_id=i, img=jnp.zeros((H, W, 3)), img_shape=(H, W),
+                   img_true_shape=(H, W),
+                   uimg=np.zeros((H, W, 3), np.float32))
+        fr.X_canon = jnp.asarray(X_plane)  # plane is fronto-parallel: same map
+        fr.C = jnp.ones((N, 1))
+        fr.feat = jnp.zeros((1, kfs.num_patches, 8))
+        fr.pos = jnp.zeros((1, kfs.num_patches, 2), jnp.int32)
+        fr.N = 1
+        # perturbed initial pose (kf0 pinned at truth)
+        xi = np.zeros(7, np.float32)
+        if i > 0:
+            xi = (RNG.normal(size=7) * 0.01).astype(np.float32)
+        T_true = jnp.asarray([t, 0, 0, 0, 0, 0, 1, 1], jnp.float32)
+        fr.T_WC = lie.compose(lie.exp(jnp.asarray(xi)), T_true)
+        kfs.append(fr)
+    kfs.set_intrinsics(K)
+
+    cfg = dict(CFG)
+    cfg["use_calib"] = True
+    graph = FactorGraph(StubModel(), kfs, cfg, K=K)
+    # true correspondences: pixel (u, v) of kf j ↔ (u + disparity, v) of kf i
+    uu = np.arange(W)
+    vv = np.arange(H)
+    U, V = np.meshgrid(uu, vv, indexing="xy")
+    edges = [(0, 1), (1, 2)]
+    ii, jj, idxs, valids = [], [], [], []
+    for i, j in edges:
+        disp = int(round(fx * (tx[j] - tx[i]) / 2.0))
+        u_i = U + disp
+        valid = (u_i >= 0) & (u_i < W)
+        idx = np.clip(u_i, 0, W - 1) + W * V
+        ii.append(i)
+        jj.append(j)
+        idxs.append(idx.reshape(-1))
+        valids.append(valid.reshape(-1))
+    graph.ii = np.asarray(ii, np.int32)
+    graph.jj = np.asarray(jj, np.int32)
+    graph.idx_ii2jj = jnp.asarray(np.stack(idxs), jnp.int32)
+    graph.valid_match_j = jnp.asarray(np.stack(valids))[..., None]
+    # reverse direction: disparity negates
+    idxs_r, valids_r = [], []
+    for i, j in edges:
+        disp = int(round(fx * (tx[i] - tx[j]) / 2.0))
+        u_j = U + disp
+        valid = (u_j >= 0) & (u_j < W)
+        idxs_r.append((np.clip(u_j, 0, W - 1) + W * V).reshape(-1))
+        valids_r.append(valid.reshape(-1))
+    graph.idx_jj2ii = jnp.asarray(np.stack(idxs_r), jnp.int32)
+    graph.valid_match_i = jnp.asarray(np.stack(valids_r))[..., None]
+    graph.Q_ii2jj = jnp.full((2, N, 1), 4.0)
+    graph.Q_jj2ii = jnp.full((2, N, 1), 4.0)
+
+    def pose_err():
+        err = 0.0
+        for i, t in enumerate(tx):
+            T_true = jnp.asarray([t, 0, 0, 0, 0, 0, 1, 1], jnp.float32)
+            d = lie.log(lie.compose(lie.inv(kfs.T_WC[i]), T_true))
+            err += float(jnp.linalg.norm(d))
+        return err
+
+    e0 = pose_err()
+    graph.solve_GN_calib()
+    e1 = pose_err()
+    assert e1 < e0 * 0.5, f"calib BA did not reduce pose error: {e0} -> {e1}"
