@@ -55,6 +55,23 @@ def save_traj(savedir, filename: str, timestamps, keyframes) -> pathlib.Path:
 # PLY export
 # ---------------------------------------------------------------------------
 
+def _uimg_colors(uimg, h, w):
+    """Display image → per-pointmap-pixel colors (h*w, 3) float [0, 255].
+
+    uimg may be display-downsampled (dataset.img_downsample); upsample back
+    to the pointmap grid by nearest-neighbour repetition.
+    """
+    u = np.asarray(uimg, np.float32)
+    if u.shape[0] != h or u.shape[1] != w:
+        ry = int(np.ceil(h / u.shape[0]))
+        rx = int(np.ceil(w / u.shape[1]))
+        u = np.repeat(np.repeat(u, ry, 0), rx, 1)[:h, :w]
+    u = u.reshape(-1, 3)
+    if u.max() <= 1.0:
+        u = u * 255.0
+    return u
+
+
 def write_ply(path, xyz: np.ndarray, rgb: np.ndarray | None = None,
               extra: dict[str, np.ndarray] | None = None):
     """Binary little-endian PLY with optional uchar colors + float properties."""
@@ -105,9 +122,7 @@ def save_reconstruction(savedir, filename, keyframes, conf_threshold=0.0):
             uimg = keyframes.uimg[i]
             keep = (C / Nw) > conf_threshold
             Xw = np.asarray(lie.act(T[None], X))[keep]
-            rgb = (np.asarray(uimg).reshape(-1, 3)[keep]).astype(np.float32)
-            if rgb.max() <= 1.0:
-                rgb = rgb * 255.0
+            rgb = _uimg_colors(uimg, keyframes.h, keyframes.w)[keep]
             pts.append(Xw)
             cols.append(rgb.astype(np.uint8))
     if not pts:
@@ -132,12 +147,10 @@ def save_ply_with_quality(savedir, filename, keyframes, quality_service,
             Nw = max(int(keyframes.N[i]), 1)
             T = np.asarray(keyframes.T_WC[i])
             uimg = np.asarray(keyframes.uimg[i])
-            h, w = uimg.shape[:2]
+            h, w = keyframes.h, keyframes.w
             keep = (C / Nw) > conf_threshold
             Xw = np.asarray(lie.act(T[None], X))[keep]
-            rgb = uimg.reshape(-1, 3)[keep].astype(np.float32)
-            if rgb.max() <= 1.0:
-                rgb = rgb * 255.0
+            rgb = _uimg_colors(uimg, h, w)[keep]
             pts.append(Xw)
             cols.append(rgb.astype(np.uint8))
 

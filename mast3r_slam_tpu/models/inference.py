@@ -101,20 +101,6 @@ class MASt3RInference:
             self.params, self.cfg, feat_i, pos_i, feat_j, pos_j, tuple(img_hw)
         )
 
-    # -- pointmap decimation -------------------------------------------------
-
-    @staticmethod
-    def downsample(X, C, D, Q, factor: int):
-        """Stride-subsample per-pixel maps (reference mast3r_utils.py:43-52).
-
-        Inputs shaped (B, H, W, ...); returns the same tuple strided by
-        ``factor`` in both spatial dims (no-op for factor <= 1).
-        """
-        if factor <= 1:
-            return X, C, D, Q
-        s = slice(None, None, factor)
-        return X[:, s, s], C[:, s, s], D[:, s, s], Q[:, s, s]
-
     # -- matching entry points --------------------------------------------
 
     def match_asymmetric(self, frame_i, frame_j, idx_i2j_init=None):

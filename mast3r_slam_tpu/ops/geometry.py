@@ -114,6 +114,42 @@ def get_pixel_coords(img_size, dtype=jnp.float32):
     return jnp.stack([uu, vv], axis=-1).reshape(-1, 2)
 
 
+# ---------------------------------------------------------------------------
+# Channels-first ("structure-of-arrays") Jacobian helpers.
+#
+# The Gauss-Newton solvers (tracker + backend BA) keep residual/Jacobian
+# CHANNELS as separate lane-parallel vectors instead of (N, D, 7) arrays —
+# the array-of-structs layout puts the 7-dim tangent in TPU lanes at 5%
+# utilization (measured 13x slower). These helpers are the shared channel-
+# list building blocks.
+# ---------------------------------------------------------------------------
+
+def point_jac_channels(Xw):
+    """Local Sim3 point Jacobian ``[I | -skew(X') | X']`` as a 3x7 nested
+    list of channel vectors (leading dims of ``Xw (..., 3)`` preserved)."""
+    x, y, z = Xw[..., 0], Xw[..., 1], Xw[..., 2]
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    return [
+        [one, zero, zero, zero, z, -y, x],
+        [zero, one, zero, -z, zero, x, y],
+        [zero, zero, one, y, -x, zero, z],
+    ]
+
+
+def compose_jac_channels(d_res, d_pt, negate=False):
+    """(D x 3) ∘ (3 x 7) channel-list composition → D x 7 channel lists."""
+    out = []
+    for i in range(len(d_res)):
+        row = []
+        for k in range(7):
+            s = (d_res[i][0] * d_pt[0][k] + d_res[i][1] * d_pt[1][k]
+                 + d_res[i][2] * d_pt[2][k])
+            row.append(-s if negate else s)
+        out.append(row)
+    return out
+
+
 def constrain_points_to_ray(img_size, Xs, K):
     """Snap pointmap entries onto the camera rays through their own pixels.
 

@@ -24,14 +24,26 @@ _BUILD_LOCK = threading.Lock()
 
 
 def _build_library() -> pathlib.Path | None:
+    """Compile the voxel hash on this machine, keyed by source content hash.
+
+    The shared object is never committed and never trusted across machines:
+    mtimes are unreliable after checkout, and a foreign-built binary could
+    carry ISA extensions this CPU lacks. -O2 without -march keeps the build
+    portable; the hash file invalidates it whenever the source changes.
+    """
+    import hashlib
+
     with _BUILD_LOCK:
-        if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()
+        hash_file = _BUILD / "tsdf_hash.src.sha256"
+        if (_SO.exists() and hash_file.exists()
+                and hash_file.read_text().strip() == src_hash):
             return _SO
         _BUILD.mkdir(parents=True, exist_ok=True)
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               str(_SRC), "-o", str(_SO)]
+        cmd = ["g++", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
+            hash_file.write_text(src_hash)
             return _SO
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             msg = getattr(e, "stderr", str(e))

@@ -82,19 +82,22 @@ class TSDFPoseOptimizer:
             C = np.asarray(kf.C[kf_idx][:, 0])
             n = max(int(kf.N[kf_idx]), 1)
             T = np.asarray(kf.T_WC[kf_idx])
+            version = int(kf.version[kf_idx])
         conf = C / n
         good = np.where(conf > self.min_conf)[0]
         if good.size == 0:
-            return None, None, None
+            return None, None, None, version
         if good.size > self.samples:
             good = np.random.default_rng(kf_idx).choice(
                 good, self.samples, replace=False
             )
-        return X[good], conf[good], T
+        return X[good], conf[good], T, version
 
     def optimize_single(self, kf_idx) -> bool:
-        """GN on ``min Σ w φ(T∘p)²``; writes the pose back under lock."""
-        X_cam, w, T0 = self._sample_points(kf_idx)
+        """GN on ``min Σ w φ(T∘p)²``; pose written back under lock IFF the
+        keyframe's version is unchanged (a concurrent backend BA write must
+        win over a refinement computed from the stale pose)."""
+        X_cam, w, T0, version = self._sample_points(kf_idx)
         if X_cam is None:
             return False
         T = T0.copy()
@@ -126,7 +129,8 @@ class TSDFPoseOptimizer:
             if np.linalg.norm(delta) < 1e-6:
                 break
         with self.keyframes.lock:
-            # write-back only if the pose was not concurrently replaced
+            if int(self.keyframes.version[kf_idx]) != version:
+                return False  # pose moved under us (backend BA); discard
             import jax.numpy as jnp
 
             self.keyframes.T_WC = self.keyframes.T_WC.at[kf_idx].set(

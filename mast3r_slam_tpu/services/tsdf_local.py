@@ -265,7 +265,8 @@ class TSDFRefiner:
             "dropped_tasks": 0, "points_refined": 0, "conf_boosted_kfs": 0,
             "version_conflicts": 0, "total_processing_time": 0.0,
         }
-        self._retry: dict[int, int] = {}
+        self._retry: dict[int, tuple] = {}       # kf_id → (due_time, attempts)
+        self._retry_counts: dict[int, int] = {}  # kf_id → failures so far
         self._worker = threading.Thread(target=self.run, daemon=True,
                                         name="tsdf-refine")
         self._started = False
@@ -393,8 +394,20 @@ class TSDFRefiner:
 
     # -- worker ------------------------------------------------------------
 
+    def _pump_retries(self):
+        """Re-schedule failed keyframes whose backoff has elapsed
+        (reference tsdf_refine.py:303-340: exponential backoff + give-up cap)."""
+        now = time.monotonic()
+        due = [kf for kf, (t, _) in self._retry.items() if t <= now]
+        for kf in due:
+            _, attempts = self._retry.pop(kf)
+            self._schedule_refinement(kf)
+            self.stats["retries"] = self.stats.get("retries", 0) + 1
+            self._retry_counts[kf] = attempts
+
     def run(self):
         while not self.stop_flag.is_set():
+            self._pump_retries()
             try:
                 key, blk = self.task_q.get(timeout=0.25)
             except queue.Empty:
@@ -413,11 +426,14 @@ class TSDFRefiner:
             self.registry.mark_done(key, ok)
             if ok:
                 self.stats["refined_blocks"] += 1
+                self._retry_counts.pop(blk.kf_id, None)
             else:
                 self.stats["rejected_blocks"] += 1
-                r = self._retry.get(blk.kf_id, 0)
-                if r < self.max_retries:
-                    self._retry[blk.kf_id] = r + 1
+                attempts = self._retry_counts.get(blk.kf_id, 0) + 1
+                if attempts <= self.max_retries and blk.kf_id not in self._retry:
+                    backoff = self.retry_backoff_s * (2 ** (attempts - 1))
+                    self._retry[blk.kf_id] = (time.monotonic() + backoff,
+                                              attempts)
 
     def _refine_block(self, blk: PatchBlock) -> bool:
         """Snapshot → local TSDF build → raycast → guarded fusion write-back

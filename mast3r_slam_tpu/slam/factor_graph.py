@@ -40,31 +40,6 @@ from mast3r_slam_tpu.ops.robust import huber
 # Jitted GN core
 # ---------------------------------------------------------------------------
 
-def _local_point_jac_channels(Xp):
-    """Local Sim3 point Jacobian ``[I | -skew(X') | X']`` as a 3x7 nested
-    list of ``(E, N)`` channel arrays (channels-first for lane efficiency)."""
-    x, y, z = Xp[..., 0], Xp[..., 1], Xp[..., 2]
-    one = jnp.ones_like(x)
-    zero = jnp.zeros_like(x)
-    return [
-        [one, zero, zero, zero, z, -y, x],
-        [zero, one, zero, -z, zero, x, y],
-        [zero, zero, one, y, -x, zero, z],
-    ]
-
-
-def _compose_channels(d_res, d_pt):
-    """(D x 3) ∘ (3 x 7) channel-list composition → D x 7 channel lists."""
-    return [
-        [
-            d_res[i][0] * d_pt[0][k] + d_res[i][1] * d_pt[1][k]
-            + d_res[i][2] * d_pt[2][k]
-            for k in range(7)
-        ]
-        for i in range(len(d_res))
-    ]
-
-
 def _edge_local_system(r, Jl, w, adj_inv):
     """Per-edge LOCAL normal equations → world-frame blocks for pose j.
 
@@ -130,7 +105,7 @@ def _edge_terms_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
     drd = [[d_inv * ((1.0 if a == b else 0.0) - rr[a] * rr[b])
             for b in range(3)] for a in range(3)]
     drd.append([rx, ry, rz])
-    Jl = _compose_channels(drd, _local_point_jac_channels(Xj_Ci))
+    Jl = geometry.compose_jac_channels(drd, geometry.point_jac_channels(Xj_Ci))
 
     q = Q[..., 0]
     valid = (
@@ -193,7 +168,7 @@ def _edge_terms_calib(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K,
         [zero, fy * z_inv, -fy * y * z_inv * z_inv],
         [zero, zero, z_inv],
     ]
-    Jl = _compose_channels(dpz, _local_point_jac_channels(Xj_Ci))
+    Jl = geometry.compose_jac_channels(dpz, geometry.point_jac_channels(Xj_Ci))
 
     q = Q[..., 0]
     valid = (

@@ -24,16 +24,29 @@ from mast3r_slam_tpu.slam.frame import Frame, KeyframeBuffer, Mode, States
 
 def create_frame(frame_id: int, img_np: np.ndarray, T_WC=None,
                  img_size: int = 512) -> Frame:
-    """Host image → model-resolution device Frame (reference frame.py:111-122)."""
+    """Host image → model-resolution device Frame (reference frame.py:111-122).
+
+    ``dataset.img_downsample`` decimates the DISPLAY image (uimg) only, as in
+    the reference; the model/pointmap resolution stays fixed so every device
+    buffer keeps its static shape.
+    """
+    from mast3r_slam_tpu.utils.config import config
+
     res = resize_img(img_np, img_size)
     h, w = (int(v) for v in res["true_shape"][0])
     img = jnp.asarray(res["img"][0])
+    uimg = res["unnormalized_img"].astype(np.float32) / 255.0
+    ds = int(config.get("dataset", {}).get("img_downsample", 1))
+    img_shape = (h, w)
+    if ds > 1:
+        uimg = uimg[::ds, ::ds]
+        img_shape = (h // ds, w // ds)
     return Frame(
         frame_id=frame_id,
         img=img,
-        img_shape=(h, w),
+        img_shape=img_shape,
         img_true_shape=(h, w),
-        uimg=res["unnormalized_img"].astype(np.float32) / 255.0,
+        uimg=uimg,
         T_WC=T_WC if T_WC is not None else lie.identity(),
     )
 
@@ -58,8 +71,13 @@ def relocalization(frame: Frame, keyframes: KeyframeBuffer, factor_graph,
         if not kf_idx:
             keyframes.pop_last()
             return False
+        # NOTE argument order: the NEW keyframe goes first (as ii) so the
+        # consecutive-edge exemption (ii == jj - 1) can never fire for a
+        # reloc edge — candidates are always <= n_kf - 2 (reference
+        # main.py:47-52 does the same). Passing (kf_idx, frame_idx) would let
+        # a candidate at n_kf - 2 bypass strict-reloc validation entirely.
         added = factor_graph.add_factors(
-            kf_idx, frame_idx,
+            frame_idx, kf_idx,
             float(rcfg.get("min_match_frac", 0.3)),
             is_reloc=bool(rcfg.get("strict", True)),
         )
@@ -71,6 +89,7 @@ def relocalization(frame: Frame, keyframes: KeyframeBuffer, factor_graph,
             frame, add_after_query=True,
             k=int(cfg.get("retrieval", {}).get("k", 3)),
             min_thresh=float(cfg.get("retrieval", {}).get("min_thresh", 5e-3)),
+            kf_idx=n_kf - 1,
         )
         print(f"Relocalized against keyframe(s) {kf_idx}")
         # Adopt the best match's pose as the starting point.
@@ -152,6 +171,7 @@ class Backend:
             k=int(self.cfg.get("retrieval", {}).get("k", 3)),
             min_thresh=float(self.cfg.get("retrieval", {}).get("min_thresh",
                                                                5e-3)),
+            kf_idx=idx,
         )
         kf_idx = set(int(r) for r in retr)
         if idx - 1 >= 0:

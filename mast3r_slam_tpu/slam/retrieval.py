@@ -123,11 +123,17 @@ class RetrievalDatabase:
         self.codebook: jnp.ndarray | None = None
         self._bootstrap_pool: list[np.ndarray] = []
         self._bootstrap_target = 4 * codebook_size
+        self._pending: list[tuple[int, np.ndarray]] = []
 
-        # inverted file: word → (list of kf ids, list of packed signatures)
+        # inverted file: word → (list of internal ids, list of packed sigs)
         self.ivf_ids: list[list[int]] = [[] for _ in range(self.K)]
         self.ivf_sig: list[list[np.ndarray]] = [[] for _ in range(self.K)]
         self.kf_counter = 0
+        # internal insertion id → keyframe-buffer index. The two diverge as
+        # soon as insertion order differs from buffer order (--resume starts
+        # with a populated buffer and an empty database; reloc can insert
+        # out of order), so query results are mapped through this table.
+        self.id_to_kf: list[int] = []
         # per-image normalization: number of non-empty words per image
         self.image_norms: list[float] = []
 
@@ -138,7 +144,7 @@ class RetrievalDatabase:
             return
         self._bootstrap_pool.append(desc_np)
         total = sum(p.shape[0] for p in self._bootstrap_pool)
-        if total >= self._bootstrap_target or self.kf_counter >= 8:
+        if total >= self._bootstrap_target or len(self._bootstrap_pool) >= 8:
             pool = np.concatenate(self._bootstrap_pool, axis=0)
             rng = np.random.default_rng(0)
             if pool.shape[0] >= self.K:
@@ -158,20 +164,44 @@ class RetrievalDatabase:
 
     # -- signature construction ---------------------------------------------
 
-    def _signature(self, feat) -> tuple[np.ndarray, np.ndarray]:
-        """keyframe encoder tokens (1, N, D) → (words (Wn,), packed (Wn, D/8))."""
-        desc = select_local_features(feat[0], self.head_params, self.nfeat)
-        desc_np = np.asarray(desc)
-        self._ensure_codebook(desc_np)
-        if self.codebook is None:
-            # Still bootstrapping: quantize against a provisional codebook of
-            # the pooled samples themselves (scores are self-consistent).
-            return np.zeros((0,), np.int64), np.zeros((0, 1), np.uint8)
-        agg_sign, mask = aggregate_binarize(desc, self.codebook)
+    def _signature_from_desc(self, desc):
+        agg_sign, mask = aggregate_binarize(jnp.asarray(desc), self.codebook)
         mask_np = np.asarray(mask)
         words = np.where(mask_np)[0]
         packed = _pack_bits(np.asarray(agg_sign)[words])
         return words, packed
+
+    def _signature(self, feat):
+        """keyframe encoder tokens (1, N, D) →
+        (words (Wn,), packed (Wn, D/8), desc (nfeat, D))."""
+        desc = select_local_features(feat[0], self.head_params, self.nfeat)
+        desc_np = np.asarray(desc)
+        self._ensure_codebook(desc_np)
+        if self.codebook is None:
+            # Still bootstrapping; caller keeps the raw descriptors so the
+            # keyframe can be indexed retroactively once the codebook exists.
+            return np.zeros((0,), np.int64), np.zeros((0, 1), np.uint8), desc_np
+        return (*self._signature_from_desc(desc_np), desc_np)
+
+    def _insert(self, words, packed, kf_idx: int):
+        internal = self.kf_counter
+        for w, sig in zip(words, packed):
+            self.ivf_ids[int(w)].append(internal)
+            self.ivf_sig[int(w)].append(sig)
+        self.image_norms.append(float(len(words)))
+        self.id_to_kf.append(internal if kf_idx is None else int(kf_idx))
+        self.kf_counter += 1
+
+    def _flush_pending(self):
+        """Retroactively index keyframes seen before the codebook existed —
+        otherwise loop closures back to the trajectory START (the ones that
+        matter most) would be structurally impossible to retrieve."""
+        if self.codebook is None or not self._pending:
+            return
+        for kf_idx, desc_np in self._pending:
+            words, packed = self._signature_from_desc(desc_np)
+            self._insert(words, packed, kf_idx)
+        self._pending = []
 
     # -- scoring --------------------------------------------------------------
 
@@ -195,21 +225,29 @@ class RetrievalDatabase:
     # -- public API -----------------------------------------------------------
 
     def update(self, frame, add_after_query: bool, k: int,
-               min_thresh: float = 0.0) -> list[int]:
-        """Query top-k loop-closure candidates, then optionally insert."""
-        words, packed = self._signature(frame.feat)
+               min_thresh: float = 0.0, kf_idx: int | None = None) -> list[int]:
+        """Query top-k loop-closure candidates, then optionally insert.
+
+        ``kf_idx`` is the keyframe-buffer index this frame lives at (used to
+        map retrieval hits back to buffer indices); defaults to assuming
+        insertion order == buffer order.
+        """
+        words, packed, desc_np = self._signature(frame.feat)
+        self._flush_pending()
 
         top: list[int] = []
         if self.kf_counter > 0 and len(words) > 0:
             scores = self._score(words, packed)
             order = np.argsort(-scores)[:k]
-            top = [int(i) for i in order if scores[i] > min_thresh]
+            top = [self.id_to_kf[int(i)] for i in order
+                   if scores[i] > min_thresh]
 
         if add_after_query:
-            kf_id = self.kf_counter
-            for w, sig in zip(words, packed):
-                self.ivf_ids[int(w)].append(kf_id)
-                self.ivf_sig[int(w)].append(sig)
-            self.image_norms.append(float(len(words)))
-            self.kf_counter += 1
+            if self.codebook is None:
+                self._pending.append(
+                    (self.kf_counter + len(self._pending)
+                     if kf_idx is None else int(kf_idx), desc_np)
+                )
+            else:
+                self._insert(words, packed, kf_idx)
         return top

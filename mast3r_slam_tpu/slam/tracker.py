@@ -81,33 +81,6 @@ def _ray_dist_channels(X):
     return rd, jac
 
 
-def _point_jac_channels(Xw):
-    """Local Sim3 point Jacobian ``[I | -skew(X') | X']`` as a 3x7 nested
-    list of ``(N,)`` channels (geometry.act_Sim3 jacobian)."""
-    x, y, z = Xw[:, 0], Xw[:, 1], Xw[:, 2]
-    one = jnp.ones_like(x)
-    zero = jnp.zeros_like(x)
-    return [
-        [one, zero, zero, zero, z, -y, x],
-        [zero, one, zero, -z, zero, x, y],
-        [zero, zero, one, y, -x, zero, z],
-    ]
-
-
-def _compose_J(d_rd, d_pt, negate=True):
-    """(D x 3) ∘ (3 x 7) channel-list matmul → D x 7 channel lists."""
-    D = len(d_rd)
-    out = []
-    for i in range(D):
-        row = []
-        for k in range(7):
-            s = (d_rd[i][0] * d_pt[0][k] + d_rd[i][1] * d_pt[1][k]
-                 + d_rd[i][2] * d_pt[2][k])
-            row.append(-s if negate else s)
-        out.append(row)
-    return out
-
-
 @partial(jax.jit, static_argnames=("max_iters",))
 def opt_pose_ray_dist_sim3(
     Xf, Xk, T_WCf, T_WCk, Qk, valid,
@@ -130,7 +103,8 @@ def opt_pose_ray_dist_sim3(
         Xf_Ck = lie.act(T, Xf)
         rd_f, drd_dX = _ray_dist_channels(Xf_Ck)
         r = [rd_k[i] - rd_f[i] for i in range(4)]
-        J = _compose_J(drd_dX, _point_jac_channels(Xf_Ck))
+        J = geometry.compose_jac_channels(
+            drd_dX, geometry.point_jac_channels(Xf_Ck), negate=True)
         tau, new_cost, chol_ok = _solve_7x7(sqrt_info, r, J, huber_k)
         T_new = lie.retr(T, tau)
         done = (
@@ -189,7 +163,8 @@ def opt_pose_calib_sim3(
             [zero, fy * z_inv, -fy * y * z_inv * z_inv],
             [zero, zero, z_inv],
         ]
-        J = _compose_J(dpz_dX, _point_jac_channels(Xw))
+        J = geometry.compose_jac_channels(
+            dpz_dX, geometry.point_jac_channels(Xw), negate=True)
         gate = (valid_proj & vmeas).astype(sq.dtype)
         info2 = [sqrt_pix * gate, sqrt_pix * gate, sqrt_dep * gate]
         tau, new_cost, chol_ok = _solve_7x7(info2, r, J, huber_k)
@@ -313,9 +288,29 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
         )
 
     # -- keyframe pointmap fusion (frame obs mapped into keyframe frame) -------
+    # All six reference policies (frame.py:41-105), expressed jit-compatibly.
     Xkk = lie.act(T_CkCf[None], Xkf[0])
     if filtering_mode == "weighted_pointmap":
         X_k_new = (C_k * X_k + Ckf[0] * Xkk) / (C_k + Ckf[0])
+        C_k_new = C_k + Ckf[0]
+        N_k_new = N_k + 1.0
+    elif filtering_mode == "weighted_spherical":
+        def to_sph(P):
+            rr = jnp.linalg.norm(P, axis=-1, keepdims=True)
+            px, py, pz = jnp.split(P, 3, axis=-1)
+            phi = jnp.arctan2(py, px)
+            theta = jnp.arccos(jnp.clip(pz / jnp.clip(rr, 1e-12), -1.0, 1.0))
+            return jnp.concatenate([rr, phi, theta], axis=-1)
+
+        def to_cart(s):
+            rr, phi, theta = jnp.split(s, 3, axis=-1)
+            return jnp.concatenate(
+                [rr * jnp.sin(theta) * jnp.cos(phi),
+                 rr * jnp.sin(theta) * jnp.sin(phi),
+                 rr * jnp.cos(theta)], axis=-1)
+
+        sph = (C_k * to_sph(X_k) + Ckf[0] * to_sph(Xkk)) / (C_k + Ckf[0])
+        X_k_new = to_cart(sph)
         C_k_new = C_k + Ckf[0]
         N_k_new = N_k + 1.0
     elif filtering_mode == "recent":
@@ -325,7 +320,21 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
         X_k_new = jnp.where(better, Xkk, X_k)
         C_k_new = jnp.where(better, Ckf[0], C_k)
         N_k_new = 1.0
-    else:  # "first" and best_score degenerate to keeping the keyframe map
+    elif filtering_mode == "first":
+        # keep the FIRST post-creation update (reference frame.py:74-76):
+        # N_k == 1 means only the mono-init map exists → adopt this update.
+        first = N_k <= 1.0
+        X_k_new = jnp.where(first, Xkk, X_k)
+        C_k_new = jnp.where(first, Ckf[0], C_k)
+        N_k_new = 2.0  # sentinel: > 1 blocks later updates
+    elif filtering_mode == "best_score":
+        # stored map C is always the winning update's C, so comparing medians
+        # of stored-vs-new reproduces the reference's best-score policy.
+        better = jnp.median(Ckf[0]) > jnp.median(C_k / jnp.maximum(N_k, 1.0))
+        X_k_new = jnp.where(better, Xkk, X_k)
+        C_k_new = jnp.where(better, Ckf[0], C_k)
+        N_k_new = 1.0
+    else:
         X_k_new, C_k_new, N_k_new = X_k, C_k, N_k
 
     # -- keyframe-selection statistics -----------------------------------------
@@ -445,13 +454,16 @@ class FrameTracker:
 
         frame.T_WC = out["T_WCf"]
 
-        # Keyframe pointmap fusion write-back (version-checked elsewhere).
+        # Keyframe pointmap fusion write-back. The version bump makes this
+        # write visible to the TSDF refiner's optimistic-concurrency check
+        # (a refinement snapshotted before this fusion must not fuse back).
         with kfs.lock:
             kfs.X = kfs.X.at[kf_idx].set(out["X_k_new"])
             kfs.C = kfs.C.at[kf_idx].set(out["C_k_new"])
             kfs.N[kf_idx] = int(float(out["N_k_new"]))
             kfs.N_updates[kf_idx] += 1
             kfs.is_dirty[kf_idx] = True
+            kfs.version[kf_idx] += 1
 
         # Keyframe selection: low coverage in either direction spawns a new KF.
         new_kf = min(float(out["match_frac_k"]),

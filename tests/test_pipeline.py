@@ -40,7 +40,7 @@ class StubRetrieval:
     def __init__(self):
         self.added = 0
 
-    def update(self, frame, add_after_query, k, min_thresh=0.0):
+    def update(self, frame, add_after_query, k, min_thresh=0.0, kf_idx=None):
         hits = [0] if self.added > 1 else []
         if add_after_query:
             self.added += 1

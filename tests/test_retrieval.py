@@ -98,3 +98,28 @@ def test_reloc_query_does_not_insert():
     n = db.kf_counter
     db.update(frames[9], add_after_query=False, k=1)
     assert db.kf_counter == n
+
+
+def test_early_keyframes_indexed_retroactively():
+    """Keyframes inserted before the codebook bootstrap must still be
+    retrievable afterwards (loop closures to the trajectory start)."""
+    frames, labels = make_frames(n_frames=14)
+    db = RetrievalDatabase({}, codebook_size=64, nfeat=64, desc_dim=64)
+    for i, fr in enumerate(frames[:10]):
+        db.update(fr, add_after_query=True, k=2, kf_idx=i)
+    assert db.codebook is not None
+    assert db.kf_counter == 10, "pending keyframes were not flushed"
+    # querying with a same-place frame must be able to return an EARLY index
+    hits = db.update(frames[12], add_after_query=False, k=10, min_thresh=-1.0)
+    assert any(h < 8 for h in hits), f"early keyframes unreachable: {hits}"
+
+
+def test_id_to_kf_mapping_with_offset_indices():
+    """Buffer indices offset from insertion order (the --resume scenario)."""
+    frames, _ = make_frames(n_frames=12)
+    db = RetrievalDatabase({}, codebook_size=32, nfeat=64, desc_dim=64)
+    OFFSET = 37
+    for i, fr in enumerate(frames):
+        db.update(fr, add_after_query=True, k=3, kf_idx=OFFSET + i)
+    hits = db.update(frames[0], add_after_query=False, k=3, min_thresh=-1.0)
+    assert hits and all(h >= OFFSET for h in hits), hits
