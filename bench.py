@@ -96,7 +96,8 @@ def main():
         Qk = res_kf["desc_conf"].reshape(n_pix, 1)
         T_WCf, T_CkCf, ok = opt_pose_ray_dist_sim3(
             Xf, Xk, T_WCk, T_WCk, Qk, valid[0].astype(jnp.float32),
-            0.003, 0.003, 1.345, 50, 1e-7, 1e-7,
+            # production solver parameters (config/base.yaml tracking.*)
+            0.003, 10.0, 1.345, 50, 1e-3, 1e-3,
         )
         return T_WCf, idx_f2k, ok
 

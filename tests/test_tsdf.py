@@ -119,3 +119,55 @@ def test_tsdf_pose_optimizer_reduces_offset():
     assert opt.optimize_single(0)
     T_new = np.asarray(kfs.T_WC[0])
     assert abs(T_new[2]) < 0.03 * 0.7, f"z offset not reduced: {T_new[:3]}"
+
+
+def test_refiner_end_to_end_schedule_and_refine():
+    """Full TSDFRefiner loop: low-confidence fallback priority → block
+    selection → worker refinement → version-checked fusion write-back."""
+    import time
+
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.services.tsdf_local import TSDFRefiner
+    from mast3r_slam_tpu.slam.frame import Frame, KeyframeBuffer
+
+    h = w = 64
+    n = h * w
+    kfs = KeyframeBuffer(h, w, capacity=4, feat_dim=8)
+    # plane at z=1 with noise; a low-confidence patch to attract scheduling
+    u, v = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    X = np.stack([(u - w / 2) / 100.0, (v - h / 2) / 100.0,
+                  np.ones_like(u, np.float32)], -1).astype(np.float32)
+    X[..., 2] += RNG.normal(size=(h, w)).astype(np.float32) * 0.01
+    C = np.full((h, w), 1.0, np.float32)
+    C[16:48, 16:48] = 0.05  # low confidence region → fallback priority > 0
+
+    fr = Frame(frame_id=0, img=jnp.zeros((h, w, 3)), img_shape=(h, w),
+               img_true_shape=(h, w), uimg=np.zeros((h, w, 3), np.float32))
+    fr.X_canon = jnp.asarray(X.reshape(n, 3))
+    fr.C = jnp.asarray(C.reshape(n, 1))
+    fr.feat = jnp.zeros((1, kfs.num_patches, 8))
+    fr.pos = jnp.zeros((1, kfs.num_patches, 2), jnp.int32)
+    fr.N = 1
+    kfs.append(fr)
+
+    cfg = {"tsdf_refine": {
+        "enabled": True, "window_size": 0, "max_grid_dim": 32,
+        "ray_samples": 32, "voxel_size": 0.01, "trunc_dist": 0.05,
+        "max_displacement": 0.05, "min_hit_rate": 0.01,
+        "min_confidence": 0.2, "max_rois_per_kf": 2, "cooldown_s": 0.1,
+    }}
+    ref = TSDFRefiner(kfs, cfg).start()
+    ref.maybe_schedule_sliding_window(0, is_final_pass=True)
+    assert ref.stats["scheduled"] > 0, "nothing scheduled"
+    deadline = time.time() + 60
+    while (ref.stats["refined_blocks"] + ref.stats["rejected_blocks"] == 0
+           and time.time() < deadline):
+        time.sleep(0.1)
+    ref.stop()
+    assert ref.stats["refined_blocks"] >= 1, ref.stats
+    # fusion boosted confidence in the refined region and bumped the version
+    assert kfs.version[0] > 0
+    C_after = np.asarray(kfs.C[0]).reshape(h, w)
+    assert (C_after >= C - 1e-5).all()
+    assert (C_after > C + 1e-5).any(), "no confidence boost applied"
