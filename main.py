@@ -84,6 +84,8 @@ def main(argv=None):
                     help="write a SLAM-state snapshot here at shutdown")
     ap.add_argument("--resume", default="",
                     help="resume from a SLAM-state snapshot")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-section timing report at exit (utils.tictoc)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -172,7 +174,13 @@ def main(argv=None):
                 continue
 
             if mode == Mode.TRACKING:
-                add_new_kf, _, try_reloc = tracker.track(frame)
+                if args.profile:
+                    from mast3r_slam_tpu.utils import tictoc
+
+                    with tictoc.section("tracker.track", sync_device=True):
+                        add_new_kf, _, try_reloc = tracker.track(frame)
+                else:
+                    add_new_kf, _, try_reloc = tracker.track(frame)
                 if try_reloc:
                     states.set_mode(Mode.RELOC)
                 states.set_frame(frame)
@@ -256,6 +264,10 @@ def main(argv=None):
         )
         evaluation.save_keyframes(savedir, dataset.timestamps, keyframes)
         print(f"saved results → {savedir} (traj: {traj})")
+    if args.profile:
+        from mast3r_slam_tpu.utils import tictoc
+
+        tictoc.report()
     print("done")
 
 
