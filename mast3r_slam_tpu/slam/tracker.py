@@ -222,7 +222,7 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
     (sigma_ray, sigma_dist, sigma_pixel, sigma_depth, huber_k, max_iters,
      rel_error, delta_norm, C_conf, Q_conf, pixel_border, depth_eps,
      match_max_iter, match_lambda, match_conv, match_dist, match_radius,
-     match_dilation, filtering_mode) = scfg
+     match_dilation, match_separable, filtering_mode) = scfg
     H, W = img_hw
     n = H * W
 
@@ -245,6 +245,7 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
         max_iter=match_max_iter, lambda_init=match_lambda,
         convergence_thresh=match_conv, dist_thresh=match_dist,
         radius=match_radius, dilation_max=match_dilation,
+        separable_refine=match_separable,
     )
     idx0 = idx_f2k[0]
     vmatch = valid_match[0]                                   # (n, 1)
@@ -407,7 +408,8 @@ class FrameTracker:
             int(m.get("max_iter", 10)), float(m.get("lambda_init", 1e-8)),
             float(m.get("convergence_thresh", 1e-6)),
             float(m.get("dist_thresh", 0.1)), int(m.get("radius", 3)),
-            int(m.get("dilation_max", 5)), str(c["filtering_mode"]),
+            int(m.get("dilation_max", 5)),
+            bool(m.get("separable_refine", True)), str(c["filtering_mode"]),
         )
 
     def track(self, frame: Frame):

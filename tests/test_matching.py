@@ -85,8 +85,10 @@ def test_refine_matches_single_level_exact():
     )
     D21 = jnp.asarray(D[gt[:, 1], gt[:, 0]])[None]
     p0 = gt + RNG.integers(-2, 3, size=gt.shape)  # within the ±2 window
+    # joint window: exact recovery even on random (axis-inseparable) fields
     p_ref = matching.refine_matches(
-        D11, D21, jnp.asarray(p0)[None], radius=2, dilation_max=1
+        D11, D21, jnp.asarray(p0)[None], radius=2, dilation_max=1,
+        separable=False,
     )
     assert (np.asarray(p_ref[0]) == gt).all(axis=-1).mean() == 1.0
 
@@ -111,11 +113,24 @@ def test_refine_matches_coarse_to_fine_smooth_field():
     )
     D21 = jnp.asarray(D[gt[:, 1], gt[:, 0]])[None]
     p0 = gt + RNG.integers(-5, 6, size=gt.shape)  # beyond the finest window
-    p_ref = matching.refine_matches(
-        D11, D21, jnp.asarray(p0)[None], radius=2, dilation_max=3
+    p_joint = matching.refine_matches(
+        D11, D21, jnp.asarray(p0)[None], radius=2, dilation_max=3,
+        separable=False,
     )
-    err = np.abs(np.asarray(p_ref[0]) - gt).max(axis=-1)
+    err = np.abs(np.asarray(p_joint[0]) - gt).max(axis=-1)
     assert (err <= 1).mean() > 0.9
+
+    # The default separable (coordinate-descent) search must agree with the
+    # joint window on realistic smooth fields — this pins the quality claim
+    # behind matching.separable_refine's default.
+    p_sep = matching.refine_matches(
+        D11, D21, jnp.asarray(p0)[None], radius=2, dilation_max=3,
+        separable=True,
+    )
+    err_sep = np.abs(np.asarray(p_sep[0]) - gt).max(axis=-1)
+    assert (err_sep <= 1).mean() > 0.9
+    agree = (np.abs(np.asarray(p_sep[0]) - np.asarray(p_joint[0])) <= 1).all(-1)
+    assert agree.mean() > 0.85, f"separable disagrees with joint: {agree.mean()}"
 
 
 def test_img_gradient_linear_field():
