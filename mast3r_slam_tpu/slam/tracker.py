@@ -201,6 +201,28 @@ def pose_magnitude(T):
     return jnp.linalg.norm(t, axis=-1), theta
 
 
+def make_scfg(tracking_cfg: dict, matching_cfg: dict) -> tuple:
+    """Hashable solver/matcher config tuple for :func:`track_core`.
+
+    Single source of truth for the tuple layout — track_core unpacks it
+    positionally, so every consumer (FrameTracker, the multichip dryrun)
+    must build it here.
+    """
+    c, m = tracking_cfg, matching_cfg
+    return (
+        float(c["sigma_ray"]), float(c["sigma_dist"]),
+        float(c["sigma_pixel"]), float(c["sigma_depth"]),
+        float(c["huber"]), int(c["max_iters"]), float(c["rel_error"]),
+        float(c["delta_norm"]), float(c["C_conf"]), float(c["Q_conf"]),
+        float(c["pixel_border"]), float(c["depth_eps"]),
+        int(m.get("max_iter", 10)), float(m.get("lambda_init", 1e-8)),
+        float(m.get("convergence_thresh", 1e-6)),
+        float(m.get("dist_thresh", 0.1)), int(m.get("radius", 3)),
+        int(m.get("dilation_max", 5)),
+        bool(m.get("separable_refine", True)), str(c["filtering_mode"]),
+    )
+
+
 @partial(jax.jit, static_argnames=("mcfg", "img_hw", "use_calib", "scfg"))
 def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
                T_WCf_init, T_WCk, K, img_hw, use_calib, scfg):
@@ -397,20 +419,7 @@ class FrameTracker:
         self.idx_f2k = None
 
     def _scfg(self):
-        """Hashable solver/matcher config tuple for the jitted core."""
-        c, m = self.cfg, self.match_cfg
-        return (
-            float(c["sigma_ray"]), float(c["sigma_dist"]),
-            float(c["sigma_pixel"]), float(c["sigma_depth"]),
-            float(c["huber"]), int(c["max_iters"]), float(c["rel_error"]),
-            float(c["delta_norm"]), float(c["C_conf"]), float(c["Q_conf"]),
-            float(c["pixel_border"]), float(c["depth_eps"]),
-            int(m.get("max_iter", 10)), float(m.get("lambda_init", 1e-8)),
-            float(m.get("convergence_thresh", 1e-6)),
-            float(m.get("dist_thresh", 0.1)), int(m.get("radius", 3)),
-            int(m.get("dilation_max", 5)),
-            bool(m.get("separable_refine", True)), str(c["filtering_mode"]),
-        )
+        return make_scfg(self.cfg, self.match_cfg)
 
     def track(self, frame: Frame):
         cfg = self.cfg
