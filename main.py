@@ -126,7 +126,7 @@ def main(argv=None):
                if cfg.get("quality", {}).get("enabled", True) else None)
     tracker = FrameTracker(model, keyframes, cfg, quality_service=quality)
     refiner = TSDFRefiner(keyframes, cfg, quality_service=quality).start()
-    graph = FactorGraph(model, keyframes, cfg, K=K)
+    graph = FactorGraph(model, keyframes, cfg, K=K, mesh=model.mesh)
     retrieval = RetrievalDatabase(cfg, desc_dim=model.cfg.enc_embed_dim)
     tsdf_manager = TSDFGlobalManager(keyframes, cfg).start()
     backend = Backend(model, keyframes, states, graph, retrieval, cfg,

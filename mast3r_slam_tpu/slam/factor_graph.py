@@ -354,11 +354,15 @@ class FactorGraph:
     mast3r_slam/global_opt.py:12-223, redesigned around padded device buffers).
     """
 
-    def __init__(self, model, keyframes, cfg, K=None):
+    def __init__(self, model, keyframes, cfg, K=None, mesh=None):
         self.model = model
         self.keyframes = keyframes
         self.cfg = cfg["local_opt"]
         self.K = K
+        # Optional device mesh: the two-way padded edge buffers are sharded
+        # over its edge axis at solve time (power-of-two buckets are always
+        # divisible by the mesh size for meshes up to the minimum bucket).
+        self.mesh = mesh
         n_pix = keyframes.h * keyframes.w
         self.n_pix = n_pix
         # Host-side dynamic edge lists; device arrays built at solve time.
@@ -449,9 +453,18 @@ class FactorGraph:
             valid = jnp.concatenate([valid, jnp.zeros((pad, self.n_pix, 1), bool)])
             Q = jnp.concatenate([Q, jnp.zeros((pad, self.n_pix, 1), jnp.float32)])
             mask = np.concatenate([mask, np.zeros(pad, np.float32)])
-        return (
+        out = (
             jnp.asarray(ii2), jnp.asarray(jj2), idx, valid, Q, jnp.asarray(mask)
         )
+        if self.mesh is not None:
+            import numpy as _np
+
+            from mast3r_slam_tpu.parallel import sharding as S
+
+            n_dev = int(_np.prod(self.mesh.devices.shape))
+            if out[0].shape[0] % n_dev == 0:
+                out = tuple(S.shard_leading(a, self.mesh) for a in out)
+        return out
 
     def _free_mask(self, unique_kf_idx):
         pin = int(self.cfg["pin"])

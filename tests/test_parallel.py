@@ -84,3 +84,20 @@ def test_pad_to_multiple():
     assert S.pad_to_multiple(5, 8) == 8
     assert S.pad_to_multiple(16, 8) == 16
     assert S.pad_to_multiple(17, 8) == 24
+
+
+def test_factor_graph_sharded_solve(mesh):
+    """FactorGraph with a mesh shards its edge buffers and still solves."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tests.test_pipeline import CFG, StubModel, make_keyframes
+
+    kfs = make_keyframes(5, noise=0.02)
+    graph = FG.FactorGraph(StubModel(), kfs, CFG, mesh=mesh)
+    graph.add_factors([0, 1, 2, 3], [1, 2, 3, 4], 0.0)
+    T_before = np.asarray(kfs.T_WC[:5]).copy()
+    graph.solve_GN_rays()
+    T_after = np.asarray(kfs.T_WC[:5])
+    assert np.isfinite(T_after).all()
+    assert np.abs(T_after[1:] - T_before[1:]).max() > 1e-6
