@@ -115,6 +115,29 @@ def test_main_end_to_end_calibrated(synth_dataset, tiny_config_file, tmp_path,
     assert (out / f"{synth_dataset.name}.txt").exists()
 
 
+def test_main_end_to_end_threaded(synth_dataset, tiny_config_file, tmp_path,
+                                  monkeypatch):
+    """Threaded mode: backend runs as a live thread concurrent with the
+    frontend loop (single_thread: false) — exercises the async drain path."""
+    import yaml
+
+    import main as cli
+
+    cfg = yaml.safe_load(tiny_config_file.read_text())
+    cfg["single_thread"] = False
+    threaded_cfg = tiny_config_file.parent / "tiny_threaded.yaml"
+    threaded_cfg.write_text(yaml.safe_dump(cfg))
+
+    monkeypatch.chdir(tmp_path)
+    cli.main([
+        "--dataset", str(synth_dataset),
+        "--config", str(threaded_cfg),
+        "--no-viz", "--save-as", "smoke_threaded", "--max-frames", "5",
+    ])
+    out = pathlib.Path("logs") / "smoke_threaded" / synth_dataset.name
+    assert (out / f"{synth_dataset.name}.txt").exists()
+
+
 def test_ate_rmse_self():
     """ATE of a trajectory against itself (after Sim3 alignment) is ~0, and a
     known rigid offset is recovered by alignment."""
