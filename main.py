@@ -16,9 +16,6 @@ deterministic lock-step for evaluation.
 from __future__ import annotations
 
 import argparse
-import datetime
-import pathlib
-import sys
 import time
 
 import jax

@@ -11,7 +11,6 @@ of the plyfile dependency.
 
 from __future__ import annotations
 
-import os
 import pathlib
 
 import numpy as np

@@ -21,7 +21,6 @@ slice in production.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import numpy as np

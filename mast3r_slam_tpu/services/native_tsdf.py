@@ -9,7 +9,6 @@ no compiler is present.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 import threading

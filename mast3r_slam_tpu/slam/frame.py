@@ -16,7 +16,6 @@ from __future__ import annotations
 import dataclasses
 import threading
 from enum import IntEnum
-from functools import partial
 from typing import Optional
 
 import jax
