@@ -96,6 +96,17 @@ def frustum_corners(T_WC, scale=0.08, aspect=4.0 / 3.0):
     return np.asarray(lie.act(T[None], local))
 
 
+def turbo_colormap(t):
+    """Cheap turbo-like colormap for normalized depth ``t (N,) in [0, 1]``
+    (reference visualization_utils.py:15-24 colors the current frame by
+    depth)."""
+    t = np.clip(np.asarray(t, np.float32), 0.0, 1.0)
+    r = np.clip(1.6 - np.abs(4.0 * t - 3.2), 0, 1)
+    g = np.clip(1.6 - np.abs(4.0 * t - 1.9), 0, 1)
+    b = np.clip(1.6 - np.abs(4.0 * t - 0.8), 0, 1)
+    return np.stack([r, g, b], axis=-1)
+
+
 def render_state(keyframes, states=None, img_hw=(480, 640),
                  conf_threshold=0.0, eye=None, target=None,
                  max_points_per_kf=20000):
@@ -129,6 +140,23 @@ def render_state(keyframes, states=None, img_hw=(480, 640),
             col_all.append(col[finite])
         edges = (list(zip(states.edges_ii, states.edges_jj))
                  if states is not None else [])
+
+    # Current frame: depth-colored splats (reference visualization.py:358-380).
+    cur = states.get_frame() if states is not None else None
+    if cur is not None and cur.X_canon is not None:
+        Xc = np.asarray(cur.X_canon)
+        Tc = np.asarray(cur.T_WC)
+        Xw = np.asarray(lie.act(Tc[None], Xc))
+        finite = np.isfinite(Xw).all(1) & (np.abs(Xw) < 1e4).all(1)
+        Xw = Xw[finite]
+        depth = np.linalg.norm(Xc[finite], axis=-1)
+        rng = np.percentile(depth, [5, 95]) if depth.size else (0, 1)
+        tcol = turbo_colormap((depth - rng[0]) / max(rng[1] - rng[0], 1e-6))
+        if Xw.shape[0] > max_points_per_kf:
+            step = Xw.shape[0] // max_points_per_kf + 1
+            Xw, tcol = Xw[::step], tcol[::step]
+        pts_all.append(Xw)
+        col_all.append(tcol)
 
     P = np.concatenate(pts_all) if pts_all else np.zeros((0, 3))
     C = np.concatenate(col_all) if col_all else np.zeros((0, 3))

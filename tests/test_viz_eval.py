@@ -81,3 +81,18 @@ def test_save_traj_format(tmp_path):
     assert len(tss) == 3
     np.testing.assert_allclose(t[:, 0], [0.0, 0.3, 0.6], atol=1e-5)
     np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-5)
+
+
+def test_render_with_current_frame():
+    """Current-frame depth-colored splats render alongside keyframes."""
+    kfs = make_buffer()
+    states = States()
+    h, w = 16, 24
+    fr = Frame(frame_id=9, img=jnp.zeros((h, w, 3)), img_shape=(h, w),
+               img_true_shape=(h, w),
+               uimg=RNG.random((h, w, 3)).astype(np.float32))
+    fr.X_canon = jnp.asarray(RNG.random((h * w, 3)).astype(np.float32)
+                             + [0, 0, 2.0])
+    states.set_frame(fr)
+    img = render_state(kfs, states, img_hw=(100, 140))
+    assert (img > 0).any()
