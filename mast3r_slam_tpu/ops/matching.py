@@ -189,19 +189,24 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, separable=True):
     fields is pinned by tests/test_matching.py; set
     ``matching.separable_refine: false`` for strict joint-window parity with
     the reference kernel.
+
+    Positions are carried as separate (u, v) channel vectors — clipping and
+    updating an (N, 2) array wastes 126/128 lanes per op (measured ~7 ms of
+    pure clip/add per frame before this layout).
     """
     b, h, w, f = D11.shape
     n = h * w
     D11h = D11.astype(jnp.bfloat16)
     D21h = D21.astype(jnp.bfloat16)
 
-    def search(p, offs):
-        offs_j = jnp.asarray(offs)
+    def search(pu, pv, offs):
         K = offs.shape[0]
+        du_off = jnp.asarray(offs[:, 0])
+        dv_off = jnp.asarray(offs[:, 1])
 
-        def one_img(Dimg, pq, q):
-            pu = jnp.clip(pq[:, 0], 0, w - 1)
-            pv = jnp.clip(pq[:, 1], 0, h - 1)
+        def one_img(Dimg, pu_i, pv_i, q):
+            pu_c = jnp.clip(pu_i, 0, w - 1)
+            pv_c = jnp.clip(pv_i, 0, h - 1)
             # TPU gathers are row-rate-limited (~200M rows/s measured on
             # v5e), so fetch ALL K window candidates of a query as ONE wide
             # (K*F,) row: concat the K statically-rolled descriptor images
@@ -214,8 +219,8 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, separable=True):
                 ],
                 axis=-1,
             ).reshape(n, K * f)
-            n_q = pq.shape[0]
-            cand = stack[pv * w + pu].reshape(n_q, K, f)
+            n_q = pu_i.shape[0]
+            cand = stack[pv_c * w + pu_c].reshape(n_q, K, f)
             # batched (K, F) @ (F,) as dot_general: bf16 operands feed the
             # MXU directly (an einsum here materializes f32 copies of the
             # (N, K, F) candidates — ~11 ms/frame of pure converts).
@@ -224,27 +229,27 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, separable=True):
                 preferred_element_type=jnp.float32,
             )
             # mask candidates that fall outside the image (roll wraps).
-            # Transposed (K, N) layout: K in sublanes, N in lanes — the
-            # (N, K) form pads K=7..49 to 128 lanes and measured 7 GB/s.
+            # Transposed (K, N) layout: K in sublanes, N in lanes.
             scores_t = scores.T                      # (K, N)
-            cu = offs[:, 0][:, None] + pu[None, :]
-            cv = offs[:, 1][:, None] + pv[None, :]
+            cu = du_off[:, None] + pu_c[None, :]
+            cv = dv_off[:, None] + pv_c[None, :]
             inside = (cu >= 0) & (cu < w) & (cv >= 0) & (cv < h)
             scores_t = jnp.where(inside, scores_t, -jnp.inf)
             best = jnp.argmax(scores_t, axis=0)      # (N,)
-            return pq + offs_j[best]
+            return pu_i + du_off[best], pv_i + dv_off[best]
 
-        return jax.vmap(one_img)(D11h, p, D21h)
+        return jax.vmap(one_img)(D11h, pu, pv, D21h)
 
+    pu, pv = p1[..., 0], p1[..., 1]
     for d in range(dilation_max, 0, -1):
         if separable:
             rng = np.arange(-radius, radius + 1) * d
             zeros = np.zeros_like(rng)
-            p1 = search(p1, np.stack([rng, zeros], -1))  # horizontal pass
-            p1 = search(p1, np.stack([zeros, rng], -1))  # vertical pass
+            pu, pv = search(pu, pv, np.stack([rng, zeros], -1))  # horizontal
+            pu, pv = search(pu, pv, np.stack([zeros, rng], -1))  # vertical
         else:
-            p1 = search(p1, _window_offsets_np(radius, d))
-    return p1
+            pu, pv = search(pu, pv, _window_offsets_np(radius, d))
+    return jnp.stack([pu, pv], axis=-1)
 
 
 @jax.jit
