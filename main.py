@@ -110,6 +110,16 @@ def main(argv=None):
     print(f"dataset: {args.dataset} ({n_frames} frames @ {h}x{w}; "
           f"calib={'on' if use_calib else 'off'})")
 
+    # Remove this run's stale outputs up front so a crash can't leave a mix
+    # of old and new artifacts (reference main.py:232-240).
+    if getattr(dataset, "save_results", True):
+        stale_dir, seq_name = evaluation.prepare_savedir(args.save_as, dataset)
+        for stale in (f"{seq_name}.txt", f"{seq_name}.ply",
+                      f"{seq_name}_quality.ply"):
+            p = stale_dir / stale
+            if p.exists():
+                p.unlink()
+
     model = build_model(args, cfg)
     keyframes = KeyframeBuffer(h, w, capacity=110,
                                feat_dim=model.cfg.enc_embed_dim)
