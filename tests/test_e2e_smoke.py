@@ -138,6 +138,27 @@ def test_main_end_to_end_threaded(synth_dataset, tiny_config_file, tmp_path,
     assert (out / f"{synth_dataset.name}.txt").exists()
 
 
+def test_main_checkpoint_resume_roundtrip(synth_dataset, tiny_config_file,
+                                          tmp_path, monkeypatch):
+    """--checkpoint writes a snapshot; --resume restores and continues."""
+    import main as cli
+
+    monkeypatch.chdir(tmp_path)
+    ckpt = tmp_path / "state.npz"
+    cli.main([
+        "--dataset", str(synth_dataset), "--config", str(tiny_config_file),
+        "--no-viz", "--save-as", "ck1", "--max-frames", "3",
+        "--checkpoint", str(ckpt),
+    ])
+    assert ckpt.exists() and ckpt.stat().st_size > 1000
+    cli.main([
+        "--dataset", str(synth_dataset), "--config", str(tiny_config_file),
+        "--no-viz", "--save-as", "ck2", "--resume", str(ckpt),
+    ])
+    out = pathlib.Path("logs") / "ck2" / synth_dataset.name
+    assert (out / f"{synth_dataset.name}.txt").exists()
+
+
 def test_ate_rmse_self():
     """ATE of a trajectory against itself (after Sim3 alignment) is ~0, and a
     known rigid offset is recovered by alignment."""
