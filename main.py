@@ -160,8 +160,14 @@ def main(argv=None):
         if len(keyframes):
             last_T = keyframes.T_WC[len(keyframes) - 1]
             states.set_mode(Mode.TRACKING)
-        print(f"resumed from {args.resume}: {len(keyframes)} keyframes, "
-              f"frame {i}")
+        # Rebuild the retrieval index from the restored keyframes (feat is
+        # checkpointed): without this, loop closures / relocalization against
+        # pre-checkpoint keyframes would be structurally impossible.
+        for kf_i in range(len(keyframes)):
+            retrieval.update(keyframes[kf_i], add_after_query=True, k=0,
+                             kf_idx=kf_i)
+        print(f"resumed from {args.resume}: {len(keyframes)} keyframes "
+              f"(re-indexed for retrieval), frame {i}")
     try:
         while i < n_frames:
             while states.paused:  # viewer space-bar (reference WindowMsg)

@@ -128,12 +128,14 @@ def attention(q, k, v):
     Measured on v5e at 768 tokens: flash is 5x faster standalone at b*h=32,
     but at the tracker's b=1 the per-call overhead of ~48 kernel launches per
     frame outweighs it — XLA's fused attention wins inside the big frame
-    program. The b*h >= 64 gate routes each regime to its winner."""
+    program. The b*h >= 32 gate (the measured crossover) routes each regime
+    to its winner; small backend pair batches (e.g. b*h=48) now take the
+    fast path."""
     from mast3r_slam_tpu.ops import flash_attention as FA
 
     b, h, nq, _ = q.shape
     nk = k.shape[2]
-    if (FA.supports_pallas() and b * h >= 64
+    if (FA.supports_pallas() and b * h >= 32
             and nq % 128 == 0 and nk % 128 == 0):
         return FA.flash_attention(q, k, v)
     return FA.attention_reference(q, k, v)
@@ -421,7 +423,10 @@ def downstream_head(p, cfg: MASt3RConfig, dec_out, img_hw):
 
 def postprocess(fmap, desc_dim, two_confs):
     """Regression-head activations (reference dust3r heads/postprocess.py:22-58,
-    mast3r/catmlp_dpt_head.py:17-39): exp-mode depth, 1+exp conf, L2 desc."""
+    mast3r/catmlp_dpt_head.py:17-39): exp-mode depth, conf = 1+exp
+    (conf_mode=('exp',1,inf)), desc_conf = exp (the released metric
+    checkpoint's desc_conf_mode=('exp',0,inf)), L2-normalized descriptors.
+    Pinned end-to-end by tests/test_full_forward_parity.py."""
     xyz = fmap[..., 0:3]
     d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
     pts3d = xyz / jnp.clip(d, 1e-8) * jnp.expm1(d)
@@ -429,7 +434,7 @@ def postprocess(fmap, desc_dim, two_confs):
     desc = fmap[..., 4 : 4 + desc_dim]
     desc = desc / jnp.clip(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
     if two_confs:
-        desc_conf = 1.0 + jnp.exp(jnp.clip(fmap[..., 4 + desc_dim], -50.0, 50.0))
+        desc_conf = jnp.exp(jnp.clip(fmap[..., 4 + desc_dim], -50.0, 50.0))
     else:
         desc_conf = conf
     return {"pts3d": pts3d, "conf": conf, "desc": desc, "desc_conf": desc_conf}

@@ -298,12 +298,13 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, *, max_iter=10,
     for each pixel of image 2's pointmap-in-frame-1, the linear index of its
     correspondence in image 1.
 
-    Deliberately NOT a single jit: the stages are individually jitted and
-    dispatched in sequence. Fusing the LM loop and the refinement scans into
-    one XLA program compiles ~100x slower AND runs ~4x slower (measured on
-    v5e: 397 ms fused vs 96 ms staged) — XLA's scheduling of the combined
-    gather-heavy regions degrades badly. Async dispatch still pipelines the
-    stages back-to-back on device.
+    This convenience wrapper dispatches the individually-jitted stages in
+    sequence (async dispatch pipelines them back-to-back on device). The
+    production frontend instead fuses these same stages into the single
+    ``track_core`` program — what makes that fusion viable (it originally
+    ran 4x slower) is the optimization barrier after the LM loop
+    (see ``iter_proj``), which stops XLA from merging the LM-loop gathers
+    with the refinement gathers into one giant materialized gather.
     """
     b, h, w, _ = X21.shape
     rays9, pts_norm, p_init = prep_for_iter_proj(X11, X21, idx_1_to_2_init)

@@ -40,7 +40,10 @@ class AsynchronousQualityService:
         self.thr_zr = float(thr.get("z_r", 1.0))
         self.thr_zu = float(thr.get("z_u", 1.0))
         self.thr_dc = float(thr.get("d_cov", 0.02))
-        self.C_thr = float(cfg.get("tracking", {}).get("C_conf", 0.0)) or 1.0
+        # C_thr is used verbatim (reference quality_async.py:89) — with the
+        # default C_conf=0.0 the core's C/(C_thr+1e-8) normalization saturates
+        # Cn to 1, matching reference quality_core.py:45 semantics.
+        self.C_thr = float(cfg.get("tracking", {}).get("C_conf", 0.0))
         self.Q_thr = float(cfg.get("tracking", {}).get("Q_conf", 1.5))
 
         self.job_q: queue.Queue = queue.Queue(maxsize=64)

@@ -433,6 +433,7 @@ class FrameTracker:
             N_k = float(kfs.N[kf_idx])
             T_WCk = kfs.T_WC[kf_idx]
             kf_frame_id = int(kfs.dataset_idx[kf_idx])
+            ver_k = int(kfs.version[kf_idx])
 
         n = kfs.h * kfs.w
         idx_init = (self.idx_f2k if self.idx_f2k is not None
@@ -465,16 +466,20 @@ class FrameTracker:
 
         frame.T_WC = out["T_WCf"]
 
-        # Keyframe pointmap fusion write-back. The version bump makes this
-        # write visible to the TSDF refiner's optimistic-concurrency check
-        # (a refinement snapshotted before this fusion must not fuse back).
+        # Keyframe pointmap fusion write-back, version-checked both ways: the
+        # bump makes this write visible to the TSDF refiner's optimistic-
+        # concurrency check, and a refiner (or BA) write that landed between
+        # our snapshot and now wins — the fusion is computed from a stale
+        # pointmap, so skip it rather than clobber the fresher data (the next
+        # frame re-fuses against it).
         with kfs.lock:
-            kfs.X = kfs.X.at[kf_idx].set(out["X_k_new"])
-            kfs.C = kfs.C.at[kf_idx].set(out["C_k_new"])
-            kfs.N[kf_idx] = int(float(out["N_k_new"]))
-            kfs.N_updates[kf_idx] += 1
-            kfs.is_dirty[kf_idx] = True
-            kfs.version[kf_idx] += 1
+            if int(kfs.version[kf_idx]) == ver_k:
+                kfs.X = kfs.X.at[kf_idx].set(out["X_k_new"])
+                kfs.C = kfs.C.at[kf_idx].set(out["C_k_new"])
+                kfs.N[kf_idx] = int(float(out["N_k_new"]))
+                kfs.N_updates[kf_idx] += 1
+                kfs.is_dirty[kf_idx] = True
+                kfs.version[kf_idx] += 1
 
         # Keyframe selection: low coverage in either direction spawns a new KF.
         new_kf = min(float(out["match_frac_k"]),

@@ -1,0 +1,130 @@
+"""FULL-NETWORK forward parity vs the reference torch architecture.
+
+The per-layer layout tests (test_model_parity.py) pin individual conventions;
+this module instantiates a complete random-init reference ``AsymmetricMASt3R``
+(reference: thirdparty/mast3r/mast3r/model.py:40-68 on top of
+dust3r/dust3r/model.py:46-204 and croco), converts its ``state_dict`` through
+``models/convert.py::convert_state_dict``, and asserts that our JAX forward
+reproduces all four head outputs (pts3d / conf / desc / desc_conf) end to end.
+This catches the cross-cutting conventions no per-layer test can: decoder
+interleave order (dust3r/model.py:171-190), RoPE pairing
+(croco/models/pos_embed.py:107-158), DPT hook wiring
+(dust3r/heads/dpt_head.py:20-115), pixel-shuffle ordering and postprocess
+modes (mast3r/catmlp_dpt_head.py:17-123).
+
+The config is tiny but reference-legal (the head factory requires
+dec_depth > 9 and hardcodes DPT feature_dim=256 / last_dim=128 /
+layer_dims=[96,192,384,768]); head modes match the released metric
+checkpoint: conf_mode=('exp',1,inf), desc_conf_mode=('exp',0,inf),
+two_confs=True.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_ROOT = "/root/reference/thirdparty/mast3r"
+for _p in (REF_ROOT, f"{REF_ROOT}/dust3r", f"{REF_ROOT}/dust3r/croco"):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from mast3r_slam_tpu.models import mast3r as M  # noqa: E402
+from mast3r_slam_tpu.models.convert import convert_state_dict  # noqa: E402
+
+ENC_DIM, ENC_DEPTH, ENC_HEADS = 64, 2, 2
+DEC_DIM, DEC_DEPTH, DEC_HEADS = 48, 12, 2
+DESC = 8
+H, W = 64, 96
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def nets():
+    mast3r_model = pytest.importorskip("mast3r.model")
+    inf = float("inf")
+    torch.manual_seed(0)
+    net = mast3r_model.AsymmetricMASt3R(
+        output_mode=f"pts3d+desc{DESC}",
+        head_type="catmlp+dpt",
+        depth_mode=("exp", -inf, inf),
+        conf_mode=("exp", 1, inf),
+        desc_conf_mode=("exp", 0, inf),
+        two_confs=True,
+        landscape_only=False,
+        patch_embed_cls="PatchEmbedDust3R",
+        img_size=(H, W),
+        patch_size=16,
+        enc_embed_dim=ENC_DIM, enc_depth=ENC_DEPTH, enc_num_heads=ENC_HEADS,
+        dec_embed_dim=DEC_DIM, dec_depth=DEC_DEPTH, dec_num_heads=DEC_HEADS,
+        mlp_ratio=4,
+        pos_embed="RoPE100",
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = jax.device_put(convert_state_dict(sd, ENC_DEPTH, DEC_DEPTH))
+    cfg = M.MASt3RConfig(
+        enc_embed_dim=ENC_DIM, enc_depth=ENC_DEPTH, enc_num_heads=ENC_HEADS,
+        dec_embed_dim=DEC_DIM, dec_depth=DEC_DEPTH, dec_num_heads=DEC_HEADS,
+        desc_dim=DESC, dtype="float32",
+    )
+    return net, params, cfg
+
+
+def _images():
+    i1 = RNG.uniform(-1.0, 1.0, size=(1, H, W, 3)).astype(np.float32)
+    i2 = RNG.uniform(-1.0, 1.0, size=(1, H, W, 3)).astype(np.float32)
+    return i1, i2
+
+
+def _torch_forward(net, img1_nhwc, img2_nhwc):
+    t1 = torch.from_numpy(np.transpose(img1_nhwc, (0, 3, 1, 2)))
+    t2 = torch.from_numpy(np.transpose(img2_nhwc, (0, 3, 1, 2)))
+    shape = torch.tensor([[H, W]])
+    with torch.no_grad():
+        feat1, pos1, _ = net._encode_image(t1, shape)
+        feat2, pos2, _ = net._encode_image(t2, shape)
+        dec1, dec2 = net._decoder(feat1, pos1, feat2, pos2)
+        res1 = net._downstream_head(1, [t.float() for t in dec1], shape)
+        res2 = net._downstream_head(2, [t.float() for t in dec2], shape)
+    return (feat1, pos1), (res1, res2)
+
+
+def test_encoder_parity(nets):
+    net, params, cfg = nets
+    img1, img2 = _images()
+    (feat_t, pos_t), _ = _torch_forward(net, img1, img2)
+    feat_j, pos_j = M.encode_image(params, cfg, jnp.asarray(img1))
+    np.testing.assert_array_equal(np.asarray(pos_j), pos_t.numpy())
+    np.testing.assert_allclose(
+        np.asarray(feat_j), feat_t.numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_full_forward_parity(nets):
+    net, params, cfg = nets
+    img1, img2 = _images()
+    _, (res1_t, res2_t) = _torch_forward(net, img1, img2)
+
+    feat1, pos1 = M.encode_image(params, cfg, jnp.asarray(img1))
+    feat2, pos2 = M.encode_image(params, cfg, jnp.asarray(img2))
+    d1, d2 = M.decode_pair(params, cfg, feat1, pos1, feat2, pos2)
+    res1_j = M.downstream_head(params["head1"], cfg, d1, (H, W))
+    res2_j = M.downstream_head(params["head2"], cfg, d2, (H, W))
+
+    for name, res_t, res_j in (("view1", res1_t, res1_j),
+                               ("view2", res2_t, res2_j)):
+        for key in ("pts3d", "conf", "desc", "desc_conf"):
+            ref = res_t[key].numpy()
+            got = np.asarray(res_j[key])
+            if key in ("conf", "desc_conf"):
+                got = got.reshape(ref.shape)
+            np.testing.assert_allclose(
+                got, ref, rtol=2e-3, atol=2e-4,
+                err_msg=f"{name}/{key} mismatch",
+            )
