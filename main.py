@@ -76,6 +76,12 @@ def main(argv=None):
     ap.add_argument("--no-viz", action="store_true")
     ap.add_argument("--calib", default="")
     ap.add_argument("--weights", default="")
+    ap.add_argument("--retrieval-weights", default="",
+                    help="retrieval head: reference .pth checkpoint or a "
+                         ".npz saved via models.convert.save_params_npz")
+    ap.add_argument("--retrieval-codebook", default="",
+                    help="ASMK codebook: reference .pkl, .npy, or .npz "
+                         "(omit to bootstrap online from early keyframes)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--checkpoint", default="",
                     help="write a SLAM-state snapshot here at shutdown")
@@ -134,7 +140,26 @@ def main(argv=None):
     tracker = FrameTracker(model, keyframes, cfg, quality_service=quality)
     refiner = TSDFRefiner(keyframes, cfg, quality_service=quality).start()
     graph = FactorGraph(model, keyframes, cfg, K=K, mesh=model.mesh)
-    retrieval = RetrievalDatabase(cfg, desc_dim=model.cfg.enc_embed_dim)
+    head_params, nfeat = None, 256
+    if args.retrieval_weights:
+        from mast3r_slam_tpu.models.convert import (
+            load_params_npz, load_retrieval_checkpoint)
+
+        if args.retrieval_weights.endswith(".npz"):
+            head_params = load_params_npz(args.retrieval_weights)
+        else:
+            head_params, nfeat = load_retrieval_checkpoint(
+                args.retrieval_weights)
+        print(f"loaded retrieval head: {args.retrieval_weights}")
+    retrieval = RetrievalDatabase(cfg, desc_dim=model.cfg.enc_embed_dim,
+                                  nfeat=nfeat, head_params=head_params)
+    if args.retrieval_codebook:
+        from mast3r_slam_tpu.models.convert import load_retrieval_codebook
+
+        retrieval.set_codebook(load_retrieval_codebook(
+            args.retrieval_codebook))
+        print(f"loaded retrieval codebook: {args.retrieval_codebook} "
+              f"({retrieval.codebook.shape[0]} words)")
     tsdf_manager = TSDFGlobalManager(keyframes, cfg).start()
     backend = Backend(model, keyframes, states, graph, retrieval, cfg,
                       tsdf_manager=tsdf_manager)

@@ -180,50 +180,102 @@ def load_checkpoint(path, enc_depth=24, dec_depth=12):
     return convert_state_dict(sd, enc_depth, dec_depth)
 
 
-def convert_retrieval_state_dict(sd):
+def convert_retrieval_state_dict(sd, *, residual=False, dim=1024):
     """Retrieval-head checkpoint (``..._retrieval_trainingfree.pth``) →
     ``head_params`` for slam/retrieval.py::select_local_features.
 
-    The reference head (thirdparty/mast3r/retrieval/model.py:88-140) is
-    prewhiten (mean + PCA matrix) → projector MLP (+residual) → attention =
-    L2 norm → postwhiten. Whitening layers are stored as Linear(weight, bias)
-    where x' = (x - mean) @ P == x @ W.T + b with W = P.T, mean = -b @ inv(P).
-    We keep (m, P) form directly from weight/bias.
+    The reference head (thirdparty/mast3r/retrieval/model.py:55-157, applied
+    at retrieval_database.py:25-41) is prewhiten → projector → attention =
+    L2 norm → postwhiten, where:
+
+    - whiteners are ``Whitener`` modules storing ``m (1, D)`` and ``P (D, D)``
+      directly (``x' = (x - m) @ P``, model.py:55-75) — float64 in the
+      checkpoint, cast to float32 here;
+    - the projector is a ``nn.Sequential`` of [Linear, LayerNorm, GELU] per
+      hidden layer plus a final Linear (model.py:144-157), so parameterized
+      module indices are Linear at 0, 3, 6, … and LayerNorm at 1, 4, 7, …;
+      either may be absent entirely (``hdims=[]`` → Identity);
+    - ``residual`` comes from the checkpoint's args, not the state dict.
+
+    Missing whiteners (``prewhiten=None`` → nn.Identity) convert to the
+    identity transform so the jitted head stays structurally uniform.
     """
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = {k: np.asarray(v) for k, v in sd.items()
+          if not k.startswith("backbone")}
 
-    def whiten(prefix):
-        W = sd[f"{prefix}.weight"]          # (out, in)
-        b = sd.get(f"{prefix}.bias")
-        P = np.ascontiguousarray(W.T)
-        if b is None:
-            m = np.zeros(P.shape[0], np.float32)
-        else:
-            # x @ P + b == (x - m) @ P with m = -b @ pinv(P)
-            m = -np.linalg.pinv(P) @ b if P.shape[0] == P.shape[1] else (
-                -b @ np.linalg.pinv(P)
-            )
-        return m.astype(np.float32), P.astype(np.float32)
+    def whiten(prefix, d):
+        if f"{prefix}.m" not in sd:
+            return np.zeros((d,), np.float32), np.eye(d, dtype=np.float32)
+        m = sd[f"{prefix}.m"].reshape(-1).astype(np.float32)
+        P = sd[f"{prefix}.p"].astype(np.float32)
+        return m, P
 
-    pre_m, pre_P = whiten("prewhiten")
-    post_m, post_P = whiten("postwhiten")
+    proj_idx = sorted({int(k.split(".")[1]) for k in sd
+                       if k.startswith("projector.") and k.endswith(".weight")})
     projector = []
-    i = 0
-    while f"projector.{i}.weight" in sd:
-        lyr = {"w": np.ascontiguousarray(sd[f"projector.{i}.weight"].T),
-               "b": sd.get(f"projector.{i}.bias",
-                           np.zeros(sd[f"projector.{i}.weight"].shape[0]))}
-        # torch Sequential interleaves Linear/ReLU; ReLU has no params, so a
-        # gap of 2 in indices means the previous layer is followed by ReLU.
-        if f"projector.{i + 2}.weight" in sd:
-            lyr["relu"] = True
-        projector.append(lyr)
-        i += 2 if f"projector.{i + 2}.weight" in sd else 1
-        if i > 32:
-            break
+    for i in proj_idx:  # paramless GELU indices simply don't appear here
+        W = sd[f"projector.{i}.weight"]
+        if W.ndim == 2:  # Linear(out, in)
+            projector.append({
+                "w": np.ascontiguousarray(W.T.astype(np.float32)),
+                "b": sd.get(f"projector.{i}.bias",
+                            np.zeros(W.shape[0])).astype(np.float32),
+            })
+            dim = W.shape[0]
+        else:  # LayerNorm(weight, bias) — 1-D params
+            projector.append({
+                "g": W.astype(np.float32),
+                "b": sd[f"projector.{i}.bias"].astype(np.float32),
+            })
+            # GELU follows every LayerNorm; zero-size marker leaf (not an
+            # empty dict) so save/load_params_npz round-trips the structure
+            projector.append({"gelu": np.zeros((0,), np.float32)})
+
+    in_dim = (projector[0]["w"].shape[0] if projector
+              and "w" in projector[0] else dim)
+    pre_m, pre_P = whiten("prewhiten", in_dim)
+    post_m, post_P = whiten("postwhiten", dim)
     return {
         "prewhiten_m": pre_m, "prewhiten_P": pre_P,
         "postwhiten_m": post_m, "postwhiten_P": post_P,
         "projector": projector,
-        "residual": True,
+        "residual": bool(residual),
     }
+
+
+def load_retrieval_checkpoint(path):
+    """Load the reference retrieval checkpoint (torch ``.pth``) and return
+    ``(head_params, nfeat)``. Mirrors the reference's load at
+    mast3r_slam/mast3r_utils.py:24-31 + retrieval/processor.py:66-84."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model"] if "model" in ckpt else ckpt
+    sd = {k: v.double().numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+    args = ckpt.get("args")
+    residual = bool(getattr(args, "residual", False)) if args else False
+    nfeat = int(getattr(args, "nfeat", 300)) if args else 300
+    return convert_retrieval_state_dict(sd, residual=residual), nfeat
+
+
+def load_retrieval_codebook(path):
+    """ASMK codebook → centroid array ``(K, D)``.
+
+    Accepts the reference's pickled ``Codebook.state_dict()``
+    (asmk/codebook.py:120-131: ``{"state": {"centroids": ...}}``), a raw
+    pickled array, or ``.npy``/``.npz`` (key ``centroids``).
+    """
+    p = str(path)
+    if p.endswith(".npy"):
+        return np.load(p)
+    if p.endswith(".npz"):
+        with np.load(p) as z:
+            return z["centroids"] if "centroids" in z.files else z[z.files[0]]
+    import pickle
+
+    with open(p, "rb") as fh:
+        obj = pickle.load(fh)
+    if isinstance(obj, dict) and "state" in obj:
+        return np.asarray(obj["state"]["centroids"])
+    return np.asarray(obj)

@@ -28,31 +28,43 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 # ---------------------------------------------------------------------------
 # Jitted feature path
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("nfeat",))
-def select_local_features(feat, head_params, nfeat):
+@partial(jax.jit, static_argnames=("nfeat", "residual"))
+def select_local_features(feat, head_params, nfeat, residual=False):
     """Retrieval-head feature prep for ONE keyframe's tokens ``feat (N, D)``.
 
-    With ``head_params=None`` behavior degrades gracefully to L2-normalized
-    raw encoder tokens ranked by pre-norm magnitude (attention proxy) — the
-    structure of the reference head (prewhiten → projector (+residual) →
-    attention = L2 norm → postwhiten → top-nfeat) with identity weights.
-    Returns ``(nfeat, D)`` L2-normalized descriptors.
+    Mirrors the reference head exactly (retrieval_database.py:25-41 +
+    thirdparty/mast3r/retrieval/model.py:55-157): prewhiten ``(x - m) @ P`` →
+    projector (Linear → LayerNorm → GELU per hidden layer, final Linear)
+    [+ residual] → attention = L2 norm of the projected (pre-postwhiten)
+    features → postwhiten → top-``nfeat`` by attention. With
+    ``head_params=None`` behavior degrades gracefully to L2-normalized raw
+    encoder tokens ranked by pre-norm magnitude (attention proxy) — the same
+    structure with identity weights. Returns ``(nfeat, D)`` L2-normalized
+    descriptors.
     """
     x = feat
     if head_params is not None:
         x = (x - head_params["prewhiten_m"]) @ head_params["prewhiten_P"]
         h = x
+        # layer kind is encoded by dict keys (w=linear, g=layernorm,
+        # {}=gelu) so the pytree stays jit-traceable (strings can't be leaves)
         for lyr in head_params["projector"]:
-            h = jnp.maximum(h @ lyr["w"] + lyr["b"], 0.0) if lyr.get(
-                "relu", False
-            ) else h @ lyr["w"] + lyr["b"]
-        x = h + x if head_params.get("residual", False) else h
+            if "w" in lyr:
+                h = h @ lyr["w"] + lyr["b"]
+            elif "g" in lyr:
+                mu = jnp.mean(h, axis=-1, keepdims=True)
+                var = jnp.var(h, axis=-1, keepdims=True)
+                h = (h - mu) * lax.rsqrt(var + 1e-5) * lyr["g"] + lyr["b"]
+            else:  # gelu
+                h = jax.nn.gelu(h, approximate=False)
+        x = h + x if residual else h
         attention = jnp.linalg.norm(x, axis=-1)
         x = (x - head_params["postwhiten_m"]) @ head_params["postwhiten_P"]
     else:
@@ -118,6 +130,13 @@ class RetrievalDatabase:
         self.desc_dim = desc_dim
         self.alpha = alpha
         self.similarity_thresh = similarity_thresh
+        # residual is a STRUCTURAL property (selects the compute graph), so
+        # it rides as a static jit arg, not a traced pytree leaf
+        self.head_residual = False
+        if head_params is not None:
+            head_params = dict(head_params)
+            self.head_residual = bool(head_params.pop("residual", False))
+            head_params = jax.tree.map(jnp.asarray, head_params)
         self.head_params = head_params
 
         self.codebook: jnp.ndarray | None = None
@@ -157,10 +176,22 @@ class RetrievalDatabase:
             for _ in range(4):
                 cb = lloyd_step(pool_j, cb)
             self.codebook = cb
+            self.desc_dim = int(cb.shape[1])
             self._bootstrap_pool = []
 
     def set_codebook(self, cb):
-        self.codebook = jnp.asarray(cb)
+        cb = jnp.asarray(cb, dtype=jnp.float32)
+        if cb.shape[0] != self.K:
+            if self.kf_counter > 0:
+                raise ValueError(
+                    f"cannot swap codebook size {self.K} -> {cb.shape[0]} "
+                    "after keyframes were indexed")
+            self.K = int(cb.shape[0])
+            self.ivf_ids = [[] for _ in range(self.K)]
+            self.ivf_sig = [[] for _ in range(self.K)]
+        self.codebook = cb
+        self.desc_dim = int(cb.shape[1])  # signature bit width = residual dim
+        self._flush_pending()
 
     # -- signature construction ---------------------------------------------
 
@@ -174,7 +205,8 @@ class RetrievalDatabase:
     def _signature(self, feat):
         """keyframe encoder tokens (1, N, D) →
         (words (Wn,), packed (Wn, D/8), desc (nfeat, D))."""
-        desc = select_local_features(feat[0], self.head_params, self.nfeat)
+        desc = select_local_features(feat[0], self.head_params, self.nfeat,
+                                     self.head_residual)
         desc_np = np.asarray(desc)
         self._ensure_codebook(desc_np)
         if self.codebook is None:

@@ -138,6 +138,47 @@ def test_main_end_to_end_threaded(synth_dataset, tiny_config_file, tmp_path,
     assert (out / f"{synth_dataset.name}.txt").exists()
 
 
+def test_main_with_retrieval_artifacts(synth_dataset, tiny_config_file,
+                                       tmp_path, monkeypatch):
+    """--retrieval-weights / --retrieval-codebook load converted artifacts
+    and the pipeline runs with the pretrained-head retrieval path active
+    (reference: mast3r_utils.py:24-31 loads head + codebook at startup)."""
+    import main as cli
+    from mast3r_slam_tpu.models.convert import save_params_npz
+
+    rng = np.random.default_rng(9)
+    D = 64  # tiny preset enc_embed_dim
+    head = {
+        "prewhiten_m": rng.normal(size=D).astype(np.float32) * 0.1,
+        "prewhiten_P": np.eye(D, dtype=np.float32)
+        + 0.05 * rng.normal(size=(D, D)).astype(np.float32),
+        "postwhiten_m": np.zeros(D, np.float32),
+        "postwhiten_P": np.eye(D, dtype=np.float32),
+        "projector": [
+            {"w": np.eye(D, dtype=np.float32)
+             + 0.05 * rng.normal(size=(D, D)).astype(np.float32),
+             "b": np.zeros(D, np.float32)},
+        ],
+        "residual": True,
+    }
+    head_npz = tmp_path / "retrieval_head.npz"
+    save_params_npz(head, head_npz)
+    cb = rng.normal(size=(32, D)).astype(np.float32)
+    cb /= np.linalg.norm(cb, axis=-1, keepdims=True)
+    cb_npy = tmp_path / "codebook.npy"
+    np.save(cb_npy, cb)
+
+    monkeypatch.chdir(tmp_path)
+    cli.main([
+        "--dataset", str(synth_dataset), "--config", str(tiny_config_file),
+        "--no-viz", "--save-as", "smoke_retrieval", "--max-frames", "5",
+        "--retrieval-weights", str(head_npz),
+        "--retrieval-codebook", str(cb_npy),
+    ])
+    out = pathlib.Path("logs") / "smoke_retrieval" / synth_dataset.name
+    assert (out / f"{synth_dataset.name}.txt").exists()
+
+
 def test_main_checkpoint_resume_roundtrip(synth_dataset, tiny_config_file,
                                           tmp_path, monkeypatch):
     """--checkpoint writes a snapshot; --resume restores and continues."""
