@@ -172,7 +172,8 @@ class MASt3RInference:
             dist_thresh=float(c.get("dist_thresh", 0.1)),
             radius=int(c.get("radius", 3)),
             dilation_max=int(c.get("dilation_max", 5)),
-            separable_refine=bool(c.get("separable_refine", True)),
+            refine_mode=matching.resolve_refine_mode(c),
+            plateau_frac=float(c.get("plateau_frac", 0.001)),
         )
 
 

@@ -45,6 +45,19 @@ from jax import lax
 from mast3r_slam_tpu.ops.image import img_gradient
 
 
+def resolve_refine_mode(matching_cfg: dict) -> str:
+    """Resolve ``matching.refine_mode`` with back-compat for the legacy
+    ``separable_refine`` bool (True→separable, False→joint)."""
+    mode = matching_cfg.get("refine_mode")
+    if mode is None:
+        legacy = matching_cfg.get("separable_refine")
+        if legacy is None:
+            return "plus"
+        return "separable" if legacy else "joint"
+    assert mode in ("plus", "separable", "joint"), mode
+    return str(mode)
+
+
 def pixel_to_lin(p, w):
     """(u, v) integer pixel coords → linear index ``u + w*v``."""
     return p[..., 0] + w * p[..., 1]
@@ -89,10 +102,22 @@ def _ray_cost(corners, u, v, target, h, w, c):
     return jnp.sum(err * err, axis=-1), s, err
 
 
-@partial(jax.jit, static_argnames=("max_iter", "img_hw"))
+@partial(jax.jit, static_argnames=("max_iter", "img_hw", "plateau_frac"))
 def _iter_proj_single(rays9_flat, pts_norm, p_init, img_hw, max_iter,
-                      lambda_init, cost_thresh):
-    """LM projection for one image: ``rays9_flat (H*W, 9)``, ``pts_norm (N, 3)``."""
+                      lambda_init, cost_thresh, plateau_frac=0.0):
+    """LM projection for one image: ``rays9_flat (H*W, 9)``, ``pts_norm (N, 3)``.
+
+    ``plateau_frac > 0`` enables progress-based early exit: stop iterating
+    once the converged-pixel count grows by less than ``plateau_frac * N``
+    in an iteration. This is the lockstep analog of the reference CUDA
+    kernel's per-thread termination (matching_kernels.cu:119-275: threads
+    whose pixel converged stop costing) — in a vectorized loop, stragglers
+    that will never converge (occlusion boundaries, newly revealed regions)
+    would otherwise force every pixel through all ``max_iter`` gather
+    passes. Pixels still unconverged at exit are flagged invalid exactly as
+    at max_iter. ``plateau_frac=0`` reproduces the strict schedule (eval
+    parity).
+    """
     h, w = img_hw
     c = rays9_flat.shape[-1]
     # Barrier: keep the corner stack materialized ONCE outside the LM loop —
@@ -110,16 +135,25 @@ def _iter_proj_single(rays9_flat, pts_norm, p_init, img_hw, max_iter,
     # each LM step costs one bilinear gather pass, not two.
     cost0, s0, err0 = _ray_cost(corners, u, v, pts_norm, h, w, c)
 
+    n_q = u.shape[0]
+    min_progress = int(np.ceil(plateau_frac * n_q)) if plateau_frac else 0
+
     def cond(carry):
-        it, state = carry
+        it, prev_cnt, state = carry
         cost = state[3]
-        # early-exit once every pixel is converged (each gather pass costs
-        # ~1 ms; converged pixels would only polish sub-threshold)
-        return (it < max_iter) & ~jnp.all(cost < cost_thresh)
+        cnt = jnp.sum(cost < cost_thresh)
+        go = (it < max_iter) & (cnt < n_q)
+        if min_progress:
+            # converged count is monotone (accept only lowers cost), so a
+            # stalled count means remaining pixels are stuck — stop paying
+            # full gather passes for them (they are flagged invalid anyway)
+            go &= (it < 2) | (cnt - prev_cnt >= min_progress)
+        return go
 
     def body(carry, _=None):
-        it, state = carry
+        it, _, state = carry
         u, v, lam, cost, s, err = state
+        prev_cnt = jnp.sum(cost < cost_thresh)
         gx = s[:, 3:6]
         gy = s[:, 6:9]
         # 2x2 J^T J (+ LM damping) and -J^T r from the channel gradients
@@ -144,23 +178,25 @@ def _iter_proj_single(rays9_flat, pts_norm, p_init, img_hw, max_iter,
         cost = jnp.where(accept, new_cost, cost)
         s = jnp.where(accept[:, None], new_s, s)
         err = jnp.where(accept[:, None], new_err, err)
-        return it + 1, (u, v, lam, cost, s, err)
+        return it + 1, prev_cnt, (u, v, lam, cost, s, err)
 
-    _, (u, v, lam, cost, _, _) = lax.while_loop(
-        cond, body, (jnp.asarray(0), (u, v, lam, cost0, s0, err0))
+    _, _, (u, v, lam, cost, _, _) = lax.while_loop(
+        cond, body,
+        (jnp.asarray(0), jnp.asarray(0, dtype=jnp.int32),
+         (u, v, lam, cost0, s0, err0)),
     )
     return jnp.stack([u, v], axis=-1), cost < cost_thresh
 
 
 def iter_proj(rays_with_grad, pts_norm, p_init, max_iter=10, lambda_init=1e-8,
-              cost_thresh=1e-6):
+              cost_thresh=1e-6, plateau_frac=0.0):
     """Batched LM projection. ``rays_with_grad (B, H, W, 9)``, ``pts_norm (B, N, 3)``,
     ``p_init (B, N, 2)`` → ``(p (B, N, 2) float, converged (B, N) bool)``."""
     b, h, w, c = rays_with_grad.shape
     fn = jax.vmap(
         lambda r, p, pi: _iter_proj_single(
             r.reshape(h * w, c), p, pi, (h, w), max_iter, lambda_init,
-            cost_thresh
+            cost_thresh, plateau_frac
         )
     )
     return fn(rays_with_grad, pts_norm, p_init)
@@ -173,22 +209,32 @@ def _window_offsets_np(radius: int, dilation: int) -> np.ndarray:
     return np.stack([du.ravel(), dv.ravel()], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("radius", "dilation_max", "separable"))
-def refine_matches(D11, D21, p1, radius=3, dilation_max=5, separable=True):
+@partial(jax.jit, static_argnames=("radius", "dilation_max", "mode"))
+def refine_matches(D11, D21, p1, radius=3, dilation_max=5, mode="plus"):
     """Coarse-to-fine descriptor-similarity refinement of integer matches.
 
     ``D11 (B, H, W, F)`` target descriptor image; ``D21 (B, N, F)`` query
     descriptors; ``p1 (B, N, 2)`` integer initial matches. Returns refined
     ``(B, N, 2)`` integer positions.
 
-    ``separable=True`` (default) replaces each level's joint (2r+1)² window
-    argmax with two coordinate-descent passes (horizontal then vertical,
-    re-centering in between) — 2·(2r+1) candidates instead of 49 cuts the
-    level's gather volume ~7x (the single hottest cost in the tracking
-    step). Equivalence with the joint search on realistic smooth descriptor
-    fields is pinned by tests/test_matching.py; set
-    ``matching.separable_refine: false`` for strict joint-window parity with
-    the reference kernel.
+    ``mode`` selects the per-level window search (the level's gather is the
+    single hottest cost in the tracking step — TPU gathers here are
+    row-rate-bound, so candidate count AND pass count both matter):
+
+    - ``"joint"``: the reference kernel's full (2r+1)² window argmax
+      (matching_kernels.cu:26-81 semantics) — 49 candidates, 1 gather pass.
+    - ``"separable"``: two coordinate-descent passes (horizontal then
+      vertical, re-centering in between) — 2·(2r+1)=14 candidates over
+      2 gather passes.
+    - ``"plus"`` (default): ONE pass per level over the plus-shaped
+      candidate set (both axes jointly, 4r+1=13 candidates) — same
+      candidate volume as separable but HALF the gather passes, and unlike
+      separable the axis choice is made jointly rather than greedily.
+
+    Equivalence of the reduced modes with the joint search on realistic
+    smooth descriptor fields is pinned by tests/test_matching.py; eval
+    configs pin ``matching.refine_mode: joint`` for strict reference parity
+    of benchmarked numbers.
 
     Positions are carried as separate (u, v) channel vectors — clipping and
     updating an (N, 2) array wastes 126/128 lanes per op (measured ~7 ms of
@@ -242,12 +288,19 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, separable=True):
 
     pu, pv = p1[..., 0], p1[..., 1]
     for d in range(dilation_max, 0, -1):
-        if separable:
-            rng = np.arange(-radius, radius + 1) * d
-            zeros = np.zeros_like(rng)
+        rng = np.arange(-radius, radius + 1) * d
+        zeros = np.zeros_like(rng)
+        if mode == "separable":
             pu, pv = search(pu, pv, np.stack([rng, zeros], -1))  # horizontal
             pu, pv = search(pu, pv, np.stack([zeros, rng], -1))  # vertical
-        else:
+        elif mode == "plus":
+            nz = rng[rng != 0]
+            offs = np.concatenate(
+                [np.stack([rng, zeros], -1),          # horizontal arm (+center)
+                 np.stack([np.zeros_like(nz), nz], -1)],  # vertical arm
+            )
+            pu, pv = search(pu, pv, offs)
+        else:  # joint — full reference window
             pu, pv = search(pu, pv, _window_offsets_np(radius, d))
     return jnp.stack([pu, pv], axis=-1)
 
@@ -291,7 +344,8 @@ def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
 
 def match(X11, X21, D11, D21, idx_1_to_2_init=None, *, max_iter=10,
           lambda_init=1e-8, convergence_thresh=1e-6, dist_thresh=0.1,
-          radius=3, dilation_max=5, separable_refine=True):
+          radius=3, dilation_max=5, refine_mode="plus",
+          plateau_frac=0.001):
     """Full matching pipeline: LM projection + occlusion gate + refinement.
 
     Returns ``(idx_1_to_2 (B, N) int32, valid (B, N, 1) bool)`` where N = H*W:
@@ -309,7 +363,8 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, *, max_iter=10,
     b, h, w, _ = X21.shape
     rays9, pts_norm, p_init = prep_for_iter_proj(X11, X21, idx_1_to_2_init)
     p1, converged = iter_proj(
-        rays9, pts_norm, p_init, max_iter, lambda_init, convergence_thresh
+        rays9, pts_norm, p_init, max_iter, lambda_init, convergence_thresh,
+        plateau_frac,
     )
     p1 = jnp.floor(p1).astype(jnp.int32)
 
@@ -317,7 +372,7 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, *, max_iter=10,
 
     if radius > 0:
         p1 = refine_matches(D11, D21.reshape(b, h * w, -1), p1, radius,
-                            dilation_max, separable_refine)
+                            dilation_max, refine_mode)
 
     idx = pixel_to_lin(p1, w)
     return idx, valid[..., None]

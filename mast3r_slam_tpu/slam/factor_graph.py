@@ -71,42 +71,25 @@ def _edge_local_system(r, Jl, w, adj_inv):
     return H, g
 
 
-def _edge_terms_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
-                     sigma_ray, sigma_dist, C_thresh, Q_thresh):
-    """Ray+dist residual channels for each edge (channels-first).
+def _premeas_rays(X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
+                  C_thresh, Q_thresh):
+    """ITERATION-INVARIANT measured channels for the ray residual.
 
-    For edge (i, j): pixel k of keyframe j matches pixel ``idx_ii2jj[e, k]``
-    of keyframe i; residual compares unit rays + distances in frame i.
-    Returns ``(r, Jl, sw, adj_inv)`` for :func:`_edge_local_system`.
+    The per-edge correspondence gather ``X[ii][e, idx]`` dominates the BA
+    solve (86% of an iteration when run in-loop) yet depends only on the
+    matches, never on the poses — so it runs ONCE per solve through
+    :func:`_precompute_measured` and the GN loop reads the resulting stacks
+    sequentially. Returns channel tuple ``(mx, my, mz, di, conf)``, each
+    ``(E, N)``: the unit measurement ray, its length, and the gated
+    confidence (zero where the pixel fails any validity test).
     """
-    Ti = T_WC[ii]                                 # (E, 8)
-    Tj = T_WC[jj]
-    Tij = lie.compose(lie.inv(Ti), Tj)
-
     e_idx = jnp.arange(ii.shape[0])[:, None]
     safe_idx = jnp.where(valid_match[..., 0], idx_ii2jj, 0)
-    Xi = X[ii][e_idx, safe_idx]                   # (E, N, 3)
-    Xj = X[jj]                                    # (E, N, 3)
+    Xi = X[ii][e_idx, safe_idx]                   # (E, N, 3) scattered gather
     Ci = Cavg[ii][e_idx, safe_idx, 0]
     Cj = Cavg[jj][..., 0]
-
-    Xj_Ci = lie.act(Tij[:, None, :], Xj)
-    x, y, z = Xj_Ci[..., 0], Xj_Ci[..., 1], Xj_Ci[..., 2]
-    d = jnp.sqrt(x * x + y * y + z * z)
-    d_inv = 1.0 / d
-    rx, ry, rz = x * d_inv, y * d_inv, z * d_inv
     di = jnp.linalg.norm(Xi, axis=-1)
-    # r = predicted - measured (per channel)
-    r = [rx - Xi[..., 0] / jnp.maximum(di, 1e-12),
-         ry - Xi[..., 1] / jnp.maximum(di, 1e-12),
-         rz - Xi[..., 2] / jnp.maximum(di, 1e-12),
-         d - di]
-    rr = (rx, ry, rz)
-    drd = [[d_inv * ((1.0 if a == b else 0.0) - rr[a] * rr[b])
-            for b in range(3)] for a in range(3)]
-    drd.append([rx, ry, rz])
-    Jl = geometry.compose_jac_channels(drd, geometry.point_jac_channels(Xj_Ci))
-
+    di_safe = jnp.maximum(di, 1e-12)
     q = Q[..., 0]
     valid = (
         valid_match[..., 0]
@@ -115,6 +98,37 @@ def _edge_terms_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
         & (Cj > C_thresh)
     )
     conf = jnp.where(valid, q, 0.0)
+    return (Xi[..., 0] / di_safe, Xi[..., 1] / di_safe,
+            Xi[..., 2] / di_safe, di, conf)
+
+
+def _edge_terms_rays(T_WC, X, ii, jj, meas, sigma_ray, sigma_dist):
+    """Ray+dist residual channels for each edge (channels-first), given the
+    precomputed measured channels from :func:`_premeas_rays`.
+
+    For edge (i, j): pixel k of keyframe j matches pixel ``idx_ii2jj[e, k]``
+    of keyframe i; residual compares unit rays + distances in frame i.
+    Returns ``(r, Jl, sw, adj_inv)`` for :func:`_edge_local_system`.
+    """
+    mx, my, mz, di, conf = meas
+    Ti = T_WC[ii]                                 # (E, 8)
+    Tj = T_WC[jj]
+    Tij = lie.compose(lie.inv(Ti), Tj)
+    Xj = X[jj]                                    # (E, N, 3) contiguous rows
+
+    Xj_Ci = lie.act(Tij[:, None, :], Xj)
+    x, y, z = Xj_Ci[..., 0], Xj_Ci[..., 1], Xj_Ci[..., 2]
+    d = jnp.sqrt(x * x + y * y + z * z)
+    d_inv = 1.0 / d
+    rx, ry, rz = x * d_inv, y * d_inv, z * d_inv
+    # r = predicted - measured (per channel)
+    r = [rx - mx, ry - my, rz - mz, d - di]
+    rr = (rx, ry, rz)
+    drd = [[d_inv * ((1.0 if a == b else 0.0) - rr[a] * rr[b])
+            for b in range(3)] for a in range(3)]
+    drd.append([rx, ry, rz])
+    Jl = geometry.compose_jac_channels(drd, geometry.point_jac_channels(Xj_Ci))
+
     sw_ray = jnp.sqrt(conf) / sigma_ray
     sw_dist = jnp.sqrt(conf) / sigma_dist
     sw = [sw_ray, sw_ray, sw_ray, sw_dist]
@@ -122,31 +136,48 @@ def _edge_terms_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
     return r, Jl, sw, adj_inv
 
 
-def _edge_terms_calib(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K,
-                      img_size, pixel_border, z_eps,
-                      sigma_pixel, sigma_depth, C_thresh, Q_thresh):
-    """Calibrated pixel+logdepth residual channels (channels-first)."""
-    Ti = T_WC[ii]
-    Tj = T_WC[jj]
-    Tij = lie.compose(lie.inv(Ti), Tj)
-
+def _premeas_calib(X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K,
+                   z_eps, C_thresh, Q_thresh):
+    """Iteration-invariant measured channels for the calibrated residual:
+    ``(ui, vi, logzi, conf)``, each ``(E, N)`` (keyframe i's matched pixel +
+    log depth; conf gated by all measurement-side validity tests)."""
+    fx, fy, cx, cy = geometry.decompose_K(K)
     e_idx = jnp.arange(ii.shape[0])[:, None]
     safe_idx = jnp.where(valid_match[..., 0], idx_ii2jj, 0)
     Xi = X[ii][e_idx, safe_idx]
-    Xj = X[jj]
     Ci = Cavg[ii][e_idx, safe_idx, 0]
     Cj = Cavg[jj][..., 0]
 
-    Xj_Ci = lie.act(Tij[:, None, :], Xj)
-    fx, fy, cx, cy = geometry.decompose_K(K)
-    H_img, W_img = img_size
-
-    # Measurement: keyframe i's matched pixel + its log depth.
     zi = Xi[..., 2]
     valid_zi = zi > z_eps
     zi_safe = jnp.where(valid_zi, zi, 1.0)
     ui = fx * Xi[..., 0] / zi_safe + cx
     vi = fy * Xi[..., 1] / zi_safe + cy
+    q = Q[..., 0]
+    valid = (
+        valid_match[..., 0]
+        & (q > Q_thresh)
+        & (Ci > C_thresh)
+        & (Cj > C_thresh)
+        & valid_zi
+    )
+    conf = jnp.where(valid, q, 0.0)
+    return ui, vi, jnp.where(valid_zi, jnp.log(zi_safe), 0.0), conf
+
+
+def _edge_terms_calib(T_WC, X, ii, jj, meas, K, img_size, pixel_border,
+                      z_eps, sigma_pixel, sigma_depth):
+    """Calibrated pixel+logdepth residual channels (channels-first), given
+    the precomputed measured channels from :func:`_premeas_calib`."""
+    ui, vi, logzi, conf = meas
+    Ti = T_WC[ii]
+    Tj = T_WC[jj]
+    Tij = lie.compose(lie.inv(Ti), Tj)
+    Xj = X[jj]
+
+    Xj_Ci = lie.act(Tij[:, None, :], Xj)
+    fx, fy, cx, cy = geometry.decompose_K(K)
+    H_img, W_img = img_size
 
     x, y, z = Xj_Ci[..., 0], Xj_Ci[..., 1], Xj_Ci[..., 2]
     valid_z = z > z_eps
@@ -159,9 +190,7 @@ def _edge_terms_calib(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K,
         & (u > pixel_border) & (u < W_img - 1 - pixel_border)
         & (v > pixel_border) & (v < H_img - 1 - pixel_border)
     )
-    r = [u - ui, v - vi,
-         jnp.where(valid_z, jnp.log(z_safe), 0.0)
-         - jnp.where(valid_zi, jnp.log(zi_safe), 0.0)]
+    r = [u - ui, v - vi, jnp.where(valid_z, jnp.log(z_safe), 0.0) - logzi]
     zero = jnp.zeros_like(z_inv)
     dpz = [
         [fx * z_inv, zero, -fx * x * z_inv * z_inv],
@@ -170,16 +199,7 @@ def _edge_terms_calib(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K,
     ]
     Jl = geometry.compose_jac_channels(dpz, geometry.point_jac_channels(Xj_Ci))
 
-    q = Q[..., 0]
-    valid = (
-        valid_match[..., 0]
-        & (q > Q_thresh)
-        & (Ci > C_thresh)
-        & (Cj > C_thresh)
-        & valid_proj
-        & valid_zi
-    )
-    conf = jnp.where(valid, q, 0.0)
+    conf = jnp.where(valid_proj, conf, 0.0)       # prediction-side gate
     sw_pix = jnp.sqrt(conf) / sigma_pixel
     sw_dep = jnp.sqrt(conf) / sigma_depth
     sw = [sw_pix, sw_pix, sw_dep]
@@ -212,19 +232,50 @@ def _scatter_blocks(H, g, He, ge, ii, jj, free_mask, cap):
 _EDGE_CHUNK = 8
 
 
-def _accumulate_system(terms_fn, ii, jj, idx, valid, Q, edge_mask, free_mask,
-                       cap, dtype):
-    """Chunked scan over edges accumulating the dense normal equations."""
-    E = ii.shape[0]
+def _chunked(E):
     chunk = min(_EDGE_CHUNK, E)
-    n_chunks = E // chunk
+    return chunk, E // chunk
+
+
+def _precompute_measured(premeas_fn, ii, jj, idx, valid, Q):
+    """Run the iteration-invariant measured-channel computation (including
+    THE scattered correspondence gather) once, as the same 8-edge chunked
+    scan the GN loop uses — the chunking matters: the identical gather
+    unchunked over all edges runs >20x slower (4 GB/s vs 33 GB/s measured on
+    v5e; see docs/PERFORMANCE.md). Returns a tuple of ``(n_chunks, chunk,
+    N)`` channel stacks consumed chunk-by-chunk by the GN-loop scan."""
+    E = ii.shape[0]
+    chunk, n_chunks = _chunked(E)
+
+    def body(_, sl):
+        ii_c, jj_c, idx_c, valid_c, Q_c = sl
+        return None, premeas_fn(ii_c, jj_c, idx_c, valid_c, Q_c)
+
+    _, meas = lax.scan(body, None, (
+        ii.reshape(n_chunks, chunk),
+        jj.reshape(n_chunks, chunk),
+        idx.reshape(n_chunks, chunk, -1),
+        valid.reshape(n_chunks, chunk, -1, 1),
+        Q.reshape(n_chunks, chunk, -1, 1),
+    ))
+    return meas
+
+
+def _accumulate_system(terms_fn, ii, jj, meas, edge_mask, free_mask,
+                       cap, dtype):
+    """Chunked scan over edges accumulating the dense normal equations.
+
+    ``meas`` is the per-chunk measured-channel stack from
+    :func:`_precompute_measured` (iteration-invariant, read sequentially)."""
+    E = ii.shape[0]
+    chunk, n_chunks = _chunked(E)
     H0 = jnp.zeros((cap + 1, 7, cap + 1, 7), dtype=dtype)
     g0 = jnp.zeros((cap + 1, 7), dtype=dtype)
 
     def body(carry, sl):
         H, g = carry
-        ii_c, jj_c, idx_c, valid_c, Q_c, mask_c = sl
-        r, Jl, sw, adj_inv = terms_fn(ii_c, jj_c, idx_c, valid_c, Q_c)
+        ii_c, jj_c, mask_c, meas_c = sl
+        r, Jl, sw, adj_inv = terms_fn(ii_c, jj_c, meas_c)
         # whitened-Huber sqrt-weights (+ padded-edge mask; binary, so it
         # passes through the square unchanged)
         s = [sw[i] * jnp.sqrt(huber(sw[i] * r[i])) * mask_c[:, None]
@@ -236,10 +287,8 @@ def _accumulate_system(terms_fn, ii, jj, idx, valid, Q, edge_mask, free_mask,
     sl = (
         ii.reshape(n_chunks, chunk),
         jj.reshape(n_chunks, chunk),
-        idx.reshape(n_chunks, chunk, -1),
-        valid.reshape(n_chunks, chunk, -1, 1),
-        Q.reshape(n_chunks, chunk, -1, 1),
         edge_mask.reshape(n_chunks, chunk),
+        meas,
     )
     (H, g), _ = lax.scan(body, (H0, g0), sl)
     return H, g
@@ -276,17 +325,21 @@ def gauss_newton_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
     padding; ``free_mask (cap,)`` marks poses that may move.
     """
     cap = T_WC.shape[0]
+    meas = _precompute_measured(
+        lambda ii_c, jj_c, idx_c, valid_c, Q_c: _premeas_rays(
+            X, Cavg, ii_c, jj_c, idx_c, valid_c, Q_c, C_thresh, Q_thresh,
+        ),
+        ii, jj, idx_ii2jj, valid_match, Q,
+    )
 
     def body(state):
         T, it, _ = state
 
-        def terms(ii_c, jj_c, idx_c, valid_c, Q_c):
-            return _edge_terms_rays(
-                T, X, Cavg, ii_c, jj_c, idx_c, valid_c, Q_c,
-                sigma_ray, sigma_dist, C_thresh, Q_thresh,
-            )
+        def terms(ii_c, jj_c, meas_c):
+            return _edge_terms_rays(T, X, ii_c, jj_c, meas_c,
+                                    sigma_ray, sigma_dist)
 
-        H, g = _accumulate_system(terms, ii, jj, idx_ii2jj, valid_match, Q,
+        H, g = _accumulate_system(terms, ii, jj, meas,
                                   edge_mask, free_mask, cap, T.dtype)
         dx = _solve_system(H, g, free_mask, cap, damping)
         T_new = jax.vmap(lie.retr)(T, dx)
@@ -310,18 +363,23 @@ def gauss_newton_calib(T_WC, X, Cavg, K, ii, jj, idx_ii2jj, valid_match, Q,
                        C_thresh, Q_thresh, max_iter, delta_thresh, damping=1e-4):
     """Global calibrated BA (pixel + log-depth residuals)."""
     cap = T_WC.shape[0]
+    meas = _precompute_measured(
+        lambda ii_c, jj_c, idx_c, valid_c, Q_c: _premeas_calib(
+            X, Cavg, ii_c, jj_c, idx_c, valid_c, Q_c, K,
+            z_eps, C_thresh, Q_thresh,
+        ),
+        ii, jj, idx_ii2jj, valid_match, Q,
+    )
 
     def body(state):
         T, it, _ = state
 
-        def terms(ii_c, jj_c, idx_c, valid_c, Q_c):
-            return _edge_terms_calib(
-                T, X, Cavg, ii_c, jj_c, idx_c, valid_c, Q_c, K, img_size,
-                pixel_border, z_eps, sigma_pixel, sigma_depth, C_thresh,
-                Q_thresh,
-            )
+        def terms(ii_c, jj_c, meas_c):
+            return _edge_terms_calib(T, X, ii_c, jj_c, meas_c, K, img_size,
+                                     pixel_border, z_eps, sigma_pixel,
+                                     sigma_depth)
 
-        H, g = _accumulate_system(terms, ii, jj, idx_ii2jj, valid_match, Q,
+        H, g = _accumulate_system(terms, ii, jj, meas,
                                   edge_mask, free_mask, cap, T.dtype)
         dx = _solve_system(H, g, free_mask, cap, damping)
         T_new = jax.vmap(lie.retr)(T, dx)

@@ -219,7 +219,8 @@ def make_scfg(tracking_cfg: dict, matching_cfg: dict) -> tuple:
         float(m.get("convergence_thresh", 1e-6)),
         float(m.get("dist_thresh", 0.1)), int(m.get("radius", 3)),
         int(m.get("dilation_max", 5)),
-        bool(m.get("separable_refine", True)), str(c["filtering_mode"]),
+        matching.resolve_refine_mode(m), float(m.get("plateau_frac", 0.001)),
+        str(c["filtering_mode"]),
     )
 
 
@@ -244,7 +245,7 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
     (sigma_ray, sigma_dist, sigma_pixel, sigma_depth, huber_k, max_iters,
      rel_error, delta_norm, C_conf, Q_conf, pixel_border, depth_eps,
      match_max_iter, match_lambda, match_conv, match_dist, match_radius,
-     match_dilation, match_separable, filtering_mode) = scfg
+     match_dilation, match_refine_mode, match_plateau, filtering_mode) = scfg
     H, W = img_hw
     n = H * W
 
@@ -267,7 +268,7 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
         max_iter=match_max_iter, lambda_init=match_lambda,
         convergence_thresh=match_conv, dist_thresh=match_dist,
         radius=match_radius, dilation_max=match_dilation,
-        separable_refine=match_separable,
+        refine_mode=match_refine_mode, plateau_frac=match_plateau,
     )
     idx0 = idx_f2k[0]
     vmatch = valid_match[0]                                   # (n, 1)

@@ -73,6 +73,34 @@ def test_shifted_match_converges_from_identity_init():
     assert valid[interior].mean() > 0.5
 
 
+def test_iter_proj_plateau_exit_matches_strict():
+    """Progress-plateau early exit recovers the same correspondences as the
+    strict schedule for pixels that converge (stragglers are invalid in
+    both), even with a wrapped-roll region that never converges."""
+    h, w = 48, 64
+    X = synthetic_pointmap(h, w)
+    X21 = np.roll(X, -3, axis=1)
+    X11j, X21j = jnp.asarray(X)[None], jnp.asarray(X21)[None]
+    D = RNG.normal(size=(h, w, 8)).astype(np.float32)
+    D11 = jnp.asarray(D / np.linalg.norm(D, axis=-1, keepdims=True))[None]
+
+    idx_s, valid_s = matching.match(X11j, X21j, D11, D11, radius=0,
+                                    max_iter=20, plateau_frac=0.0)
+    idx_p, valid_p = matching.match(X11j, X21j, D11, D11, radius=0,
+                                    max_iter=20, plateau_frac=0.002)
+    vs = np.asarray(valid_s[0, :, 0])
+    vp = np.asarray(valid_p[0, :, 0])
+    # plateau exit may drop a small tail of late-converging pixels, never add
+    assert vp.sum() >= 0.97 * vs.sum()
+    both = vs & vp
+    # positions may differ by the sub-threshold polish the strict schedule
+    # keeps applying after convergence — allow a 1-pixel floor() wobble
+    is_, ip_ = np.asarray(idx_s[0])[both], np.asarray(idx_p[0])[both]
+    du = np.abs((is_ % w) - (ip_ % w))
+    dv = np.abs((is_ // w) - (ip_ // w))
+    assert (np.maximum(du, dv) <= 1).mean() > 0.99
+
+
 def test_refine_matches_single_level_exact():
     """One dense level (dilation 1) snaps exactly to the descriptor peak when
     the peak is inside the window — random (distinctive) descriptors."""
@@ -88,7 +116,7 @@ def test_refine_matches_single_level_exact():
     # joint window: exact recovery even on random (axis-inseparable) fields
     p_ref = matching.refine_matches(
         D11, D21, jnp.asarray(p0)[None], radius=2, dilation_max=1,
-        separable=False,
+        mode="joint",
     )
     assert (np.asarray(p_ref[0]) == gt).all(axis=-1).mean() == 1.0
 
@@ -115,22 +143,24 @@ def test_refine_matches_coarse_to_fine_smooth_field():
     p0 = gt + RNG.integers(-5, 6, size=gt.shape)  # beyond the finest window
     p_joint = matching.refine_matches(
         D11, D21, jnp.asarray(p0)[None], radius=2, dilation_max=3,
-        separable=False,
+        mode="joint",
     )
     err = np.abs(np.asarray(p_joint[0]) - gt).max(axis=-1)
     assert (err <= 1).mean() > 0.9
 
-    # The default separable (coordinate-descent) search must agree with the
-    # joint window on realistic smooth fields — this pins the quality claim
-    # behind matching.separable_refine's default.
-    p_sep = matching.refine_matches(
-        D11, D21, jnp.asarray(p0)[None], radius=2, dilation_max=3,
-        separable=True,
-    )
-    err_sep = np.abs(np.asarray(p_sep[0]) - gt).max(axis=-1)
-    assert (err_sep <= 1).mean() > 0.9
-    agree = (np.abs(np.asarray(p_sep[0]) - np.asarray(p_joint[0])) <= 1).all(-1)
-    assert agree.mean() > 0.85, f"separable disagrees with joint: {agree.mean()}"
+    # The reduced-candidate searches (separable coordinate descent and the
+    # default single-pass plus window) must agree with the joint window on
+    # realistic smooth fields — this pins the quality claim behind
+    # matching.refine_mode's default.
+    for mode in ("separable", "plus"):
+        p_m = matching.refine_matches(
+            D11, D21, jnp.asarray(p0)[None], radius=2, dilation_max=3,
+            mode=mode,
+        )
+        err_m = np.abs(np.asarray(p_m[0]) - gt).max(axis=-1)
+        assert (err_m <= 1).mean() > 0.9, mode
+        agree = (np.abs(np.asarray(p_m[0]) - np.asarray(p_joint[0])) <= 1).all(-1)
+        assert agree.mean() > 0.85, f"{mode} disagrees with joint: {agree.mean()}"
 
 
 def test_img_gradient_linear_field():
