@@ -4,15 +4,27 @@ Replaces the reference's largest native component — the CUDA GN solvers +
 host-side Eigen sparse Cholesky (reference: mast3r_slam/global_opt.py and
 backend/src/gn_kernels.cu: ``ray_align_kernel`` :813-1138,
 ``calib_proj_kernel`` :1231-1545, ``SparseBlock``/``SimplicialLLT`` :57-159)
-— with a single jitted computation per iteration:
+— with a TPU-shaped split of the solve into two phases:
 
-- per-edge/per-pixel residuals + analytic Jacobians as batched einsums (MXU),
-- Hessian block assembly via scatter-add into a FIXED-capacity dense
-  ``(7*cap, 7*cap)`` system (the keyframe buffer is bounded at ~110 poses, so
-  the dense normal equations are ≤ 770², trivially Cholesky-factored
-  on-device — no GPU→CPU→GPU round-trip per iteration like the reference),
-- left-multiplicative Sim(3) retraction of all free poses,
-- ``lax.while_loop`` until ``‖dx‖ < delta_thresh`` or ``max_iter``.
+1. **Measured-channel precompute** (:func:`_premeas_rays` /
+   :func:`_premeas_calib`): everything that depends on the matches and
+   keyframe pointmaps but NOT on the poses — including THE scattered
+   per-edge correspondence gather ``X[ii][e, idx]`` and the contiguous
+   observer rows ``X[jj]`` — is captured once per edge into flat ``(E, N)``
+   channel stacks. The GN loop then contains **no large gathers at all**
+   (XLA lowers even contiguous row gathers inside a scan to full-table
+   scans: the in-loop ``X[jj]``/``C[jj]`` reads measured 25 ms/iteration
+   before being hoisted here). :class:`FactorGraph` caches these stacks
+   across solves and refreshes only edges whose keyframes changed
+   (version counters), so repeat solves skip the expensive gather entirely.
+2. **GN iterations**: per-edge residuals + analytic Jacobians as one batched
+   bf16 Gram matmul per edge chunk (:func:`_edge_system_fused`), Hessian
+   block assembly via scatter-add into a FIXED-capacity dense
+   ``(7*cap, 7*cap)`` system (the keyframe buffer is bounded at ~110 poses,
+   so the dense normal equations are ≤ 770², trivially Cholesky-factored
+   on-device — no GPU→CPU→GPU round-trip per iteration like the reference),
+   left-multiplicative Sim(3) retraction, ``lax.while_loop`` until
+   ``‖dx‖ < delta_thresh`` or ``max_iter``.
 
 Pose Jacobian convention (same math as the reference kernels): residuals are
 functions of ``X' = T_i^{-1} T_j ∘ X_j``; the local point Jacobian
@@ -40,32 +52,81 @@ from mast3r_slam_tpu.ops.robust import huber
 # Jitted GN core
 # ---------------------------------------------------------------------------
 
-def _edge_local_system(r, Jl, w, adj_inv):
-    """Per-edge LOCAL normal equations → world-frame blocks for pose j.
+def _zmul(a, b):
+    """Channel multiply with ``None`` as structural zero."""
+    if a is None or b is None:
+        return None
+    return a * b
 
-    ``r, w``: length-D lists of ``(E, N)``; ``Jl``: D x 7 channel lists
-    (Jacobian of the residual w.r.t. a LEFT perturbation of the relative pose
-    at frame i, i.e. BEFORE the adjoint map). TPU layout rationale: channel
-    lists keep N in lanes (the (E, N, D, 7) array layout wastes 95% of each
-    lane vector — measured 6.7 ms/GN-iter in the tracker before the same
-    rewrite). The 7x7 local blocks are built by one batched (7, D*N) matmul
-    per edge chunk, then transformed once per EDGE with the adjoint sandwich
-    ``H_j = Adjᵀ H_local Adj`` instead of per PIXEL — and since
-    ``J_i = -J_j`` exactly, the (ii, ij, jj) blocks are ``(H, -H, H)`` and
-    ``g_i = -g_j``, halving the remaining work.
+
+def _zsum(terms):
+    acc = None
+    for t in terms:
+        if t is None:
+            continue
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _edge_system_fused(rho, d_res, Xp, c, adj_inv,
+                       compute_dtype=jnp.bfloat16):
+    """Per-edge world-frame normal-equation blocks as ONE batched Gram
+    matmul, never materializing the ``(7, E, D·N)`` f32 Jacobian stack.
+
+    The local Sim3 J-row of residual channel d has the closed form
+    ``j_d = [m_d | X'×m_d | m_d·X']`` (``m_d`` = d-th row of the residual's
+    point derivative, ``X'`` the transformed point). Stack the weighted rows
+    and residual as ``S[e, d] = √c_d [j_d ; ρ_d] (8, N)`` in bf16; then the
+    batched Gram ``G = S Sᵀ (E, D, 8, 8)`` contains every entry of
+    ``H = Σ_d c_d j_d j_dᵀ`` (top-left 7x7 of ``Σ_d G[d]``) and
+    ``g = Σ_d c_d ρ_d j_d`` (its last column) — one MXU pass over a
+    half-size bf16 stack with f32 accumulation, instead of two f32
+    dot_generals over a 176 MB weighted-Jacobian per 8-edge chunk (59.5 →
+    38 ms per GN iteration at 128 edges x 196k px; see
+    docs/PERFORMANCE.md). Per-channel Huber IRLS weights ``c_d`` match
+    reference gn_kernels.cu:813-1138 semantics.
+
+    ``rho``: D residual channels (E, N); ``d_res``: D x 3 channel lists
+    (``None`` = structural zero); ``Xp (E, N, 3)``; ``c``: D IRLS weight
+    channels (mask already folded in); ``adj_inv (E, 7, 7)``.
     """
-    D = len(r)
-    E = r[0].shape[0]
-    A = jnp.stack([
-        jnp.concatenate([w[i] * Jl[i][k] for i in range(D)], axis=-1)
-        for k in range(7)
-    ])                                            # (7, E, D*N) — w = sqrt-weights
-    bf = jnp.concatenate([w[i] * r[i] for i in range(D)], axis=-1)  # (E, D*N)
-    H_local = jax.lax.dot_general(
-        A, A, (((2,), (2,)), ((1,), (1,))), preferred_element_type=jnp.float32
-    )                                             # (E, 7, 7)
-    g_local = jnp.einsum("aen,en->ea", A, bf)     # (E, 7)
-    # world-frame pose-j blocks: Jj = Jl @ adj_inv
+    x, y, z = Xp[..., 0], Xp[..., 1], Xp[..., 2]
+    D = len(rho)
+
+    rows = []
+    for d in range(D):
+        m1, m2, m3 = d_res[d]
+        sq = jnp.sqrt(c[d])
+        jd = [
+            m1, m2, m3,
+            _zsum([_zmul(y, m3), _zmul(-z if m2 is not None else None, m2)]),
+            _zsum([_zmul(z, m1), _zmul(-x if m3 is not None else None, m3)]),
+            _zsum([_zmul(x, m2), _zmul(-y if m1 is not None else None, m1)]),
+            _zsum([_zmul(x, m1), _zmul(y, m2), _zmul(z, m3)]),
+            rho[d],
+        ]
+        # cast per channel BEFORE stacking: the producers then write bf16
+        # directly instead of materializing 32 f32 channels that the stack
+        # re-reads (halves the dominant band of the iteration)
+        rows.append(jnp.stack(
+            [jnp.zeros_like(rho[0], dtype=compute_dtype) if ch is None
+             else (sq * ch).astype(compute_dtype) for ch in jd], axis=-2,
+        ))                                        # (E, 8, N)
+    S = jnp.stack(rows, axis=-3)                  # (E, D, 8, N)
+    # Barrier: keep XLA from re-fusing the channel producer chain into each
+    # of the dot's operand reads (duplicated-traffic pathology measured at
+    # 14.7 GB/iteration in the reduction-based variant of this function).
+    S = lax.optimization_barrier(S)
+    G = lax.dot_general(
+        S, S, (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )                                             # (E, D, 8, 8)
+    Gs = jnp.sum(G, axis=1)                       # (E, 8, 8)
+    H_local = Gs[:, :7, :7]
+    g_local = Gs[:, :7, 7]                        # (E, 7)
+    # world-frame pose-j blocks: Jj = Jl @ adj_inv; since ``J_i = -J_j``
+    # exactly, the (ii, ij, jj) blocks downstream are ``(H, -H, H)`` and
+    # ``g_i = -g_j``, halving the remaining work.
     H = jnp.einsum("eab,eac,ecd->ebd", adj_inv, H_local, adj_inv)
     g = jnp.einsum("eab,ea->eb", adj_inv, g_local)
     return H, g
@@ -73,21 +134,24 @@ def _edge_local_system(r, Jl, w, adj_inv):
 
 def _premeas_rays(X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
                   C_thresh, Q_thresh):
-    """ITERATION-INVARIANT measured channels for the ray residual.
+    """POSE-INVARIANT measured channels for the ray residual.
 
-    The per-edge correspondence gather ``X[ii][e, idx]`` dominates the BA
-    solve (86% of an iteration when run in-loop) yet depends only on the
-    matches, never on the poses — so it runs ONCE per solve through
-    :func:`_precompute_measured` and the GN loop reads the resulting stacks
-    sequentially. Returns channel tuple ``(mx, my, mz, di, conf)``, each
-    ``(E, N)``: the unit measurement ray, its length, and the gated
-    confidence (zero where the pixel fails any validity test).
+    Everything here depends only on the matches and the keyframe pointmaps,
+    never on the poses: the scattered correspondence gather ``X[ii][e, idx]``
+    (86% of a GN iteration when run in-loop), the confidence gates, AND the
+    observer-side rows ``X[jj]`` (contiguous, but XLA lowers row gathers
+    inside the GN scan to full-table scans — 25 ms/iter before hoisting).
+
+    Returns channel tuple ``(mx, my, mz, di, conf, xj, yj, zj)``, each
+    ``(E, N)``: unit measurement ray + its length, fully gated confidence,
+    and the observer points the iteration transforms.
     """
     e_idx = jnp.arange(ii.shape[0])[:, None]
     safe_idx = jnp.where(valid_match[..., 0], idx_ii2jj, 0)
     Xi = X[ii][e_idx, safe_idx]                   # (E, N, 3) scattered gather
     Ci = Cavg[ii][e_idx, safe_idx, 0]
     Cj = Cavg[jj][..., 0]
+    Xj = X[jj]                                    # (E, N, 3) contiguous rows
     di = jnp.linalg.norm(Xi, axis=-1)
     di_safe = jnp.maximum(di, 1e-12)
     q = Q[..., 0]
@@ -99,60 +163,72 @@ def _premeas_rays(X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
     )
     conf = jnp.where(valid, q, 0.0)
     return (Xi[..., 0] / di_safe, Xi[..., 1] / di_safe,
-            Xi[..., 2] / di_safe, di, conf)
+            Xi[..., 2] / di_safe, di, conf,
+            Xj[..., 0], Xj[..., 1], Xj[..., 2])
 
 
-def _edge_terms_rays(T_WC, X, ii, jj, meas, sigma_ray, sigma_dist):
+def _edge_terms_rays(T_WC, ii, jj, meas, sigma_ray, sigma_dist):
     """Ray+dist residual channels for each edge (channels-first), given the
     precomputed measured channels from :func:`_premeas_rays`.
 
     For edge (i, j): pixel k of keyframe j matches pixel ``idx_ii2jj[e, k]``
     of keyframe i; residual compares unit rays + distances in frame i.
-    Returns ``(r, Jl, sw, adj_inv)`` for :func:`_edge_local_system`.
+    Returns ``(rho, d_res, Xp, sw, adj_inv)`` for :func:`_edge_system_fused`.
     """
-    mx, my, mz, di, conf = meas
+    mx, my, mz, di, conf, xj, yj, zj = meas
     Ti = T_WC[ii]                                 # (E, 8)
     Tj = T_WC[jj]
     Tij = lie.compose(lie.inv(Ti), Tj)
-    Xj = X[jj]                                    # (E, N, 3) contiguous rows
+    Xj = jnp.stack([xj, yj, zj], axis=-1)
 
-    Xj_Ci = lie.act(Tij[:, None, :], Xj)
-    x, y, z = Xj_Ci[..., 0], Xj_Ci[..., 1], Xj_Ci[..., 2]
-    d = jnp.sqrt(x * x + y * y + z * z)
+    Xp = lie.act(Tij[:, None, :], Xj)
+    x, y, z = Xp[..., 0], Xp[..., 1], Xp[..., 2]
+    d = jnp.maximum(jnp.sqrt(x * x + y * y + z * z), 1e-12)
     d_inv = 1.0 / d
     rx, ry, rz = x * d_inv, y * d_inv, z * d_inv
-    # r = predicted - measured (per channel)
-    r = [rx - mx, ry - my, rz - mz, d - di]
+    # rho = predicted - measured (per channel)
+    rho = [rx - mx, ry - my, rz - mz, d - di]
     rr = (rx, ry, rz)
-    drd = [[d_inv * ((1.0 if a == b else 0.0) - rr[a] * rr[b])
-            for b in range(3)] for a in range(3)]
-    drd.append([rx, ry, rz])
-    Jl = geometry.compose_jac_channels(drd, geometry.point_jac_channels(Xj_Ci))
+    d_res = [[d_inv * ((1.0 if a == b else 0.0) - rr[a] * rr[b])
+              for b in range(3)] for a in range(3)]
+    d_res.append([rx, ry, rz])
 
     sw_ray = jnp.sqrt(conf) / sigma_ray
     sw_dist = jnp.sqrt(conf) / sigma_dist
     sw = [sw_ray, sw_ray, sw_ray, sw_dist]
     adj_inv = lie.adjoint(lie.inv(Ti))            # (E, 7, 7)
-    return r, Jl, sw, adj_inv
+    return rho, d_res, Xp, sw, adj_inv
 
 
-def _premeas_calib(X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K,
+def _premeas_calib(X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, W_img,
                    z_eps, C_thresh, Q_thresh):
-    """Iteration-invariant measured channels for the calibrated residual:
-    ``(ui, vi, logzi, conf)``, each ``(E, N)`` (keyframe i's matched pixel +
-    log depth; conf gated by all measurement-side validity tests)."""
-    fx, fy, cx, cy = geometry.decompose_K(K)
+    """Pose-invariant measured channels for the calibrated residual:
+    ``(ui, vi, logzi, conf, xj, yj, zj)``, each ``(E, N)``.
+
+    Both sides use ray-constrained points (reference
+    global_opt.py:145-150 constrains every pointmap with
+    ``constrain_points_to_ray`` before the calib solve): for the MEASURED
+    side the projection of the constrained point through K is by construction
+    the pixel grid position of the match index, so ``ui, vi`` come straight
+    from ``idx`` without touching K; the observer side keeps its raw x, y
+    replaced by the pixel ray scaled to the stored depth (applied by the
+    caller via ``constrain_X=True`` semantics — here ``X`` must already be
+    the ray-constrained pointmap OR raw with identical z; only z is read for
+    the measured side, and xj/yj/zj rows are emitted as stored).
+    """
     e_idx = jnp.arange(ii.shape[0])[:, None]
     safe_idx = jnp.where(valid_match[..., 0], idx_ii2jj, 0)
     Xi = X[ii][e_idx, safe_idx]
     Ci = Cavg[ii][e_idx, safe_idx, 0]
     Cj = Cavg[jj][..., 0]
+    Xj = X[jj]
 
     zi = Xi[..., 2]
     valid_zi = zi > z_eps
     zi_safe = jnp.where(valid_zi, zi, 1.0)
-    ui = fx * Xi[..., 0] / zi_safe + cx
-    vi = fy * Xi[..., 1] / zi_safe + cy
+    fidx = safe_idx.astype(zi.dtype)
+    ui = jnp.mod(fidx, float(W_img))
+    vi = jnp.floor(fidx / float(W_img))
     q = Q[..., 0]
     valid = (
         valid_match[..., 0]
@@ -162,24 +238,25 @@ def _premeas_calib(X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, K,
         & valid_zi
     )
     conf = jnp.where(valid, q, 0.0)
-    return ui, vi, jnp.where(valid_zi, jnp.log(zi_safe), 0.0), conf
+    return (ui, vi, jnp.where(valid_zi, jnp.log(zi_safe), 0.0), conf,
+            Xj[..., 0], Xj[..., 1], Xj[..., 2])
 
 
-def _edge_terms_calib(T_WC, X, ii, jj, meas, K, img_size, pixel_border,
+def _edge_terms_calib(T_WC, ii, jj, meas, K, img_size, pixel_border,
                       z_eps, sigma_pixel, sigma_depth):
     """Calibrated pixel+logdepth residual channels (channels-first), given
     the precomputed measured channels from :func:`_premeas_calib`."""
-    ui, vi, logzi, conf = meas
+    ui, vi, logzi, conf, xj, yj, zj = meas
     Ti = T_WC[ii]
     Tj = T_WC[jj]
     Tij = lie.compose(lie.inv(Ti), Tj)
-    Xj = X[jj]
+    Xj = jnp.stack([xj, yj, zj], axis=-1)
 
-    Xj_Ci = lie.act(Tij[:, None, :], Xj)
+    Xp = lie.act(Tij[:, None, :], Xj)
     fx, fy, cx, cy = geometry.decompose_K(K)
     H_img, W_img = img_size
 
-    x, y, z = Xj_Ci[..., 0], Xj_Ci[..., 1], Xj_Ci[..., 2]
+    x, y, z = Xp[..., 0], Xp[..., 1], Xp[..., 2]
     valid_z = z > z_eps
     z_safe = jnp.where(valid_z, z, 1.0)
     z_inv = 1.0 / z_safe
@@ -190,21 +267,20 @@ def _edge_terms_calib(T_WC, X, ii, jj, meas, K, img_size, pixel_border,
         & (u > pixel_border) & (u < W_img - 1 - pixel_border)
         & (v > pixel_border) & (v < H_img - 1 - pixel_border)
     )
-    r = [u - ui, v - vi, jnp.where(valid_z, jnp.log(z_safe), 0.0) - logzi]
-    zero = jnp.zeros_like(z_inv)
-    dpz = [
-        [fx * z_inv, zero, -fx * x * z_inv * z_inv],
-        [zero, fy * z_inv, -fy * y * z_inv * z_inv],
-        [zero, zero, z_inv],
+    rho = [u - ui, v - vi, jnp.where(valid_z, jnp.log(z_safe), 0.0) - logzi]
+    # None = structural zero: _edge_system_fused skips those products
+    d_res = [
+        [fx * z_inv, None, -fx * x * z_inv * z_inv],
+        [None, fy * z_inv, -fy * y * z_inv * z_inv],
+        [None, None, z_inv],
     ]
-    Jl = geometry.compose_jac_channels(dpz, geometry.point_jac_channels(Xj_Ci))
 
     conf = jnp.where(valid_proj, conf, 0.0)       # prediction-side gate
     sw_pix = jnp.sqrt(conf) / sigma_pixel
     sw_dep = jnp.sqrt(conf) / sigma_depth
     sw = [sw_pix, sw_pix, sw_dep]
     adj_inv = lie.adjoint(lie.inv(Ti))
-    return r, Jl, sw, adj_inv
+    return rho, d_res, Xp, sw, adj_inv
 
 
 def _scatter_blocks(H, g, He, ge, ii, jj, free_mask, cap):
@@ -212,7 +288,7 @@ def _scatter_blocks(H, g, He, ge, ii, jj, free_mask, cap):
 
     With ``J_i = -J_j`` the four blocks are (ii: +He, jj: +He, ij: -He) and
     the gradients are ``g_i = +ge``, ``g_j = -ge`` where
-    ``ge = Adjᵀ Jlᵀ W r`` (see :func:`_edge_local_system`).
+    ``ge = Adjᵀ Jlᵀ W r`` (see :func:`_edge_system_fused`).
     """
     slot_i = jnp.where(free_mask[ii], ii, cap)
     slot_j = jnp.where(free_mask[jj], jj, cap)
@@ -225,11 +301,15 @@ def _scatter_blocks(H, g, He, ge, ii, jj, free_mask, cap):
     return H, g
 
 
-# Edges are processed in chunks of this size inside a lax.scan: the per-edge
-# residual/Jacobian tensors are (chunk, n_pix, 4, 7) — at 196k pixels a chunk
-# of 8 bounds the transient to ~180 MB instead of materializing all edges
-# (~2.7 GB at a 128-edge bucket, an OOM on 16 GB HBM).
-_EDGE_CHUNK = 8
+# Edges are processed in chunks of this size inside a lax.scan: the PREMEAS
+# scattered gather runs >20x faster chunked at 8 than whole-bucket (4 GB/s
+# vs 33 GB/s measured on v5e), and the gather-free GN loop also measured
+# fastest at 8 (25.5 ms/iter vs 38 at chunk 32 — the bigger bf16 Gram-stack
+# transient starts spilling; see docs/PERFORMANCE.md).
+import os as _os
+
+_EDGE_CHUNK = int(_os.environ.get("MAST3R_TPU_BA_CHUNK", "8"))
+_PRE_CHUNK = 8
 
 
 def _chunked(E):
@@ -237,15 +317,13 @@ def _chunked(E):
     return chunk, E // chunk
 
 
-def _precompute_measured(premeas_fn, ii, jj, idx, valid, Q):
-    """Run the iteration-invariant measured-channel computation (including
-    THE scattered correspondence gather) once, as the same 8-edge chunked
-    scan the GN loop uses — the chunking matters: the identical gather
-    unchunked over all edges runs >20x slower (4 GB/s vs 33 GB/s measured on
-    v5e; see docs/PERFORMANCE.md). Returns a tuple of ``(n_chunks, chunk,
-    N)`` channel stacks consumed chunk-by-chunk by the GN-loop scan."""
+def precompute_measured(premeas_fn, ii, jj, idx, valid, Q):
+    """Run a measured-channel premeas over all edges as an 8-edge chunked
+    scan (the chunking is what makes the scattered gather fast — see
+    :data:`_PRE_CHUNK`). Returns flat ``(E, N)`` channel stacks."""
     E = ii.shape[0]
-    chunk, n_chunks = _chunked(E)
+    chunk = min(_PRE_CHUNK, E)
+    n_chunks = E // chunk
 
     def body(_, sl):
         ii_c, jj_c, idx_c, valid_c, Q_c = sl
@@ -258,15 +336,39 @@ def _precompute_measured(premeas_fn, ii, jj, idx, valid, Q):
         valid.reshape(n_chunks, chunk, -1, 1),
         Q.reshape(n_chunks, chunk, -1, 1),
     ))
-    return meas
+    return tuple(ch.reshape(E, -1) for ch in meas)
+
+
+@partial(jax.jit, static_argnames=("C_thresh", "Q_thresh"))
+def precompute_meas_rays(X, Cavg, ii, jj, idx, valid, Q, C_thresh, Q_thresh):
+    """Jitted full-edge-set ray premeas (tests / benches / graft entry)."""
+    return precompute_measured(
+        lambda ii_c, jj_c, idx_c, valid_c, Q_c: _premeas_rays(
+            X, Cavg, ii_c, jj_c, idx_c, valid_c, Q_c, C_thresh, Q_thresh,
+        ),
+        ii, jj, idx, valid, Q,
+    )
+
+
+@partial(jax.jit, static_argnames=("W_img", "z_eps", "C_thresh", "Q_thresh"))
+def precompute_meas_calib(X, Cavg, ii, jj, idx, valid, Q, W_img,
+                          z_eps, C_thresh, Q_thresh):
+    """Jitted full-edge-set calib premeas (``X`` must be ray-constrained)."""
+    return precompute_measured(
+        lambda ii_c, jj_c, idx_c, valid_c, Q_c: _premeas_calib(
+            X, Cavg, ii_c, jj_c, idx_c, valid_c, Q_c, W_img,
+            z_eps, C_thresh, Q_thresh,
+        ),
+        ii, jj, idx, valid, Q,
+    )
 
 
 def _accumulate_system(terms_fn, ii, jj, meas, edge_mask, free_mask,
                        cap, dtype):
     """Chunked scan over edges accumulating the dense normal equations.
 
-    ``meas`` is the per-chunk measured-channel stack from
-    :func:`_precompute_measured` (iteration-invariant, read sequentially)."""
+    ``meas``: flat ``(E, N)`` pose-invariant channel stacks — the loop body
+    reads them with sequential dynamic slices and performs NO large gather."""
     E = ii.shape[0]
     chunk, n_chunks = _chunked(E)
     H0 = jnp.zeros((cap + 1, 7, cap + 1, 7), dtype=dtype)
@@ -275,12 +377,11 @@ def _accumulate_system(terms_fn, ii, jj, meas, edge_mask, free_mask,
     def body(carry, sl):
         H, g = carry
         ii_c, jj_c, mask_c, meas_c = sl
-        r, Jl, sw, adj_inv = terms_fn(ii_c, jj_c, meas_c)
-        # whitened-Huber sqrt-weights (+ padded-edge mask; binary, so it
-        # passes through the square unchanged)
-        s = [sw[i] * jnp.sqrt(huber(sw[i] * r[i])) * mask_c[:, None]
-             for i in range(len(r))]
-        He, ge = _edge_local_system(r, Jl, s, adj_inv)
+        rho, d_res, Xp, sw, adj_inv = terms_fn(ii_c, jj_c, meas_c)
+        # whitened-Huber IRLS weights (+ padded-edge mask, binary)
+        c = [sw[i] * sw[i] * huber(sw[i] * rho[i]) * mask_c[:, None]
+             for i in range(len(rho))]
+        He, ge = _edge_system_fused(rho, d_res, Xp, c, adj_inv)
         H, g = _scatter_blocks(H, g, He, ge, ii_c, jj_c, free_mask, cap)
         return (H, g), None
 
@@ -288,7 +389,7 @@ def _accumulate_system(terms_fn, ii, jj, meas, edge_mask, free_mask,
         ii.reshape(n_chunks, chunk),
         jj.reshape(n_chunks, chunk),
         edge_mask.reshape(n_chunks, chunk),
-        meas,
+        tuple(ch.reshape(n_chunks, chunk, -1) for ch in meas),
     )
     (H, g), _ = lax.scan(body, (H0, g0), sl)
     return H, g
@@ -315,28 +416,23 @@ def _solve_system(H, g, free_mask, cap, damping):
 
 
 @partial(jax.jit, static_argnames=("max_iter",), donate_argnums=(0,))
-def gauss_newton_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
-                      edge_mask, free_mask,
-                      sigma_ray, sigma_dist, C_thresh, Q_thresh,
+def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
+                      sigma_ray, sigma_dist,
                       max_iter, delta_thresh, damping=1e-4):
     """Global ray-alignment BA over padded two-way edges. Updates T_WC (cap, 8).
 
-    ``ii, jj (E,)`` already two-way-duplicated; ``edge_mask (E,)`` masks
-    padding; ``free_mask (cap,)`` marks poses that may move.
+    ``meas``: pose-invariant channel stacks from :func:`precompute_meas_rays`
+    (or the :class:`FactorGraph` cross-solve cache). ``ii, jj (E,)`` already
+    two-way-duplicated; ``edge_mask (E,)`` masks padding; ``free_mask (cap,)``
+    marks poses that may move.
     """
     cap = T_WC.shape[0]
-    meas = _precompute_measured(
-        lambda ii_c, jj_c, idx_c, valid_c, Q_c: _premeas_rays(
-            X, Cavg, ii_c, jj_c, idx_c, valid_c, Q_c, C_thresh, Q_thresh,
-        ),
-        ii, jj, idx_ii2jj, valid_match, Q,
-    )
 
     def body(state):
         T, it, _ = state
 
         def terms(ii_c, jj_c, meas_c):
-            return _edge_terms_rays(T, X, ii_c, jj_c, meas_c,
+            return _edge_terms_rays(T, ii_c, jj_c, meas_c,
                                     sigma_ray, sigma_dist)
 
         H, g = _accumulate_system(terms, ii, jj, meas,
@@ -357,25 +453,17 @@ def gauss_newton_rays(T_WC, X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
 
 
 @partial(jax.jit, static_argnames=("max_iter", "img_size"), donate_argnums=(0,))
-def gauss_newton_calib(T_WC, X, Cavg, K, ii, jj, idx_ii2jj, valid_match, Q,
-                       edge_mask, free_mask, img_size,
+def gauss_newton_calib(T_WC, meas, K, ii, jj, edge_mask, free_mask, img_size,
                        pixel_border, z_eps, sigma_pixel, sigma_depth,
-                       C_thresh, Q_thresh, max_iter, delta_thresh, damping=1e-4):
+                       max_iter, delta_thresh, damping=1e-4):
     """Global calibrated BA (pixel + log-depth residuals)."""
     cap = T_WC.shape[0]
-    meas = _precompute_measured(
-        lambda ii_c, jj_c, idx_c, valid_c, Q_c: _premeas_calib(
-            X, Cavg, ii_c, jj_c, idx_c, valid_c, Q_c, K,
-            z_eps, C_thresh, Q_thresh,
-        ),
-        ii, jj, idx_ii2jj, valid_match, Q,
-    )
 
     def body(state):
         T, it, _ = state
 
         def terms(ii_c, jj_c, meas_c):
-            return _edge_terms_calib(T, X, ii_c, jj_c, meas_c, K, img_size,
+            return _edge_terms_calib(T, ii_c, jj_c, meas_c, K, img_size,
                                      pixel_border, z_eps, sigma_pixel,
                                      sigma_depth)
 
@@ -410,6 +498,11 @@ def _bucket(n, minimum=8):
 class FactorGraph:
     """Edge store + BA driver (capability parity with reference
     mast3r_slam/global_opt.py:12-223, redesigned around padded device buffers).
+
+    Beyond the reference, the pose-invariant measured channels of every edge
+    (incl. the scattered correspondence gather) are CACHED across solves and
+    refreshed per edge only when a touched keyframe's version counter moved —
+    repeat solves skip ~400 ms of gather at production scale.
     """
 
     def __init__(self, model, keyframes, cfg, K=None, mesh=None):
@@ -433,6 +526,13 @@ class FactorGraph:
         self.Q_ii2jj = jnp.zeros((0, n_pix, 1), jnp.float32)
         self.Q_jj2ii = jnp.zeros((0, n_pix, 1), jnp.float32)
         self.last_unique_kf_idx: np.ndarray | None = None
+        # Measured-channel cache: per ONE-WAY edge and direction, plus the
+        # (gather-side, row-side) keyframe versions it was computed at.
+        self._meas_kind: str | None = None
+        self._meas_ij: tuple | None = None        # dir i->j (gather side ii)
+        self._meas_ji: tuple | None = None        # dir j->i (gather side jj)
+        self._meas_ver_ij = np.zeros((0, 2), np.int64)
+        self._meas_ver_ji = np.zeros((0, 2), np.int64)
 
     def n_edges(self):
         return int(self.ii.shape[0])
@@ -493,35 +593,148 @@ class FactorGraph:
     def get_unique_kf_idx(self):
         return np.unique(np.concatenate([self.ii, self.jj]))
 
+    # -- measured-channel cache ---------------------------------------------
+
+    def _kf_versions(self):
+        """Pointmap-CONTENT versions (pose-only updates — including this
+        graph's own solves — must not invalidate the cache)."""
+        return np.asarray(self.keyframes.xc_version, np.int64).copy()
+
+    def _premeas_rows(self, kind, rows, direction, X, Cavg):
+        """Compute measured channels for one-way edge ``rows`` in the given
+        direction, padded to a power-of-two bucket (one compile per size)."""
+        rows = np.asarray(rows, np.int64)
+        B = _bucket(len(rows))
+        pad_rows = np.concatenate(
+            [rows, np.zeros(B - len(rows), np.int64)])
+        rj = jnp.asarray(pad_rows)
+        if direction == "ij":
+            g_kf = jnp.asarray(self.ii[pad_rows])
+            r_kf = jnp.asarray(self.jj[pad_rows])
+            idx, valid, Q = (self.idx_ii2jj[rj], self.valid_match_j[rj],
+                             self.Q_ii2jj[rj])
+        else:
+            g_kf = jnp.asarray(self.jj[pad_rows])
+            r_kf = jnp.asarray(self.ii[pad_rows])
+            idx, valid, Q = (self.idx_jj2ii[rj], self.valid_match_i[rj],
+                             self.Q_jj2ii[rj])
+        C_thresh = float(self.cfg["C_conf"])
+        Q_thresh = float(self.cfg["Q_conf"])
+        if kind == "rays":
+            meas = precompute_meas_rays(X, Cavg, g_kf, r_kf, idx, valid, Q,
+                                        C_thresh, Q_thresh)
+        else:
+            meas = precompute_meas_calib(
+                X, Cavg, g_kf, r_kf, idx, valid, Q, self.keyframes.w,
+                float(self.cfg["depth_eps"]), C_thresh, Q_thresh)
+        return tuple(ch[:len(rows)] for ch in meas)
+
+    def _ensure_meas(self, kind):
+        """Create/refresh the per-edge measured-channel cache: new edges are
+        appended; cached edges are recomputed only if the version counter of
+        either touched keyframe moved (TSDF refinement writeback, pointmap
+        fusion on a then-current keyframe, ...)."""
+        E = self.n_edges()
+        if E == 0:
+            return
+        kf = self.keyframes
+        ver = self._kf_versions()
+        want_ij = np.stack([ver[self.ii], ver[self.jj]], 1)
+        want_ji = np.stack([ver[self.jj], ver[self.ii]], 1)
+
+        X = kf.X
+        Cavg = kf.C / jnp.clip(
+            jnp.asarray(kf.N, jnp.float32)[:, None, None], 1.0)
+        if kind == "calib":
+            # both solve sides use ray-constrained points (reference
+            # global_opt.py:145-150)
+            X = geometry.constrain_points_to_ray(
+                (kf.h, kf.w), X.reshape(-1, self.n_pix, 3), self.K)
+
+        if self._meas_kind != kind or self._meas_ij is None:
+            rows = np.arange(E)
+            self._meas_ij = self._premeas_rows(kind, rows, "ij", X, Cavg)
+            self._meas_ji = self._premeas_rows(kind, rows, "ji", X, Cavg)
+            self._meas_kind = kind
+            self._meas_ver_ij = want_ij
+            self._meas_ver_ji = want_ji
+            return
+
+        E0 = self._meas_ver_ij.shape[0]
+        if E0 < E:
+            rows = np.arange(E0, E)
+            new_ij = self._premeas_rows(kind, rows, "ij", X, Cavg)
+            new_ji = self._premeas_rows(kind, rows, "ji", X, Cavg)
+            self._meas_ij = tuple(
+                jnp.concatenate([a, b]) for a, b in zip(self._meas_ij, new_ij))
+            self._meas_ji = tuple(
+                jnp.concatenate([a, b]) for a, b in zip(self._meas_ji, new_ji))
+            self._meas_ver_ij = np.concatenate(
+                [self._meas_ver_ij, want_ij[E0:]])
+            self._meas_ver_ji = np.concatenate(
+                [self._meas_ver_ji, want_ji[E0:]])
+
+        for direction, ver_cached, want in (
+            ("ij", self._meas_ver_ij, want_ij),
+            ("ji", self._meas_ver_ji, want_ji),
+        ):
+            stale = np.where((ver_cached != want).any(axis=1))[0]
+            if stale.size == 0:
+                continue
+            fresh = self._premeas_rows(kind, stale, direction, X, Cavg)
+            sj = jnp.asarray(stale)
+            if direction == "ij":
+                self._meas_ij = tuple(
+                    ch.at[sj].set(f) for ch, f in zip(self._meas_ij, fresh))
+            else:
+                self._meas_ji = tuple(
+                    ch.at[sj].set(f) for ch, f in zip(self._meas_ji, fresh))
+            ver_cached[stale] = want[stale]
+
+    def drop_meas_cache(self):
+        """Invalidate the measured-channel cache (e.g. after a checkpoint
+        restore replaced the keyframe buffers wholesale)."""
+        self._meas_kind = None
+        self._meas_ij = self._meas_ji = None
+        self._meas_ver_ij = np.zeros((0, 2), np.int64)
+        self._meas_ver_ji = np.zeros((0, 2), np.int64)
+
+    # -- solve drivers -------------------------------------------------------
+
     def _two_way_padded(self):
-        """Two-way duplicated edge arrays padded to a power-of-two bucket."""
+        """Two-way duplicated edge+meas arrays padded to a power-of-two
+        bucket."""
         E = self.n_edges()
         ii2 = np.concatenate([self.ii, self.jj])
         jj2 = np.concatenate([self.jj, self.ii])
-        idx = jnp.concatenate([self.idx_ii2jj, self.idx_jj2ii], axis=0)
-        valid = jnp.concatenate([self.valid_match_j, self.valid_match_i], axis=0)
-        Q = jnp.concatenate([self.Q_ii2jj, self.Q_jj2ii], axis=0)
+        meas = tuple(
+            jnp.concatenate([a, b]) for a, b in
+            zip(self._meas_ij, self._meas_ji)
+        )
 
         pad = _bucket(2 * E) - 2 * E
         mask = np.ones(2 * E, np.float32)
         if pad:
             ii2 = np.concatenate([ii2, np.zeros(pad, np.int32)])
             jj2 = np.concatenate([jj2, np.zeros(pad, np.int32)])
-            idx = jnp.concatenate([idx, jnp.zeros((pad, self.n_pix), jnp.int32)])
-            valid = jnp.concatenate([valid, jnp.zeros((pad, self.n_pix, 1), bool)])
-            Q = jnp.concatenate([Q, jnp.zeros((pad, self.n_pix, 1), jnp.float32)])
+            meas = tuple(
+                jnp.concatenate(
+                    [ch, jnp.zeros((pad, self.n_pix), ch.dtype)])
+                for ch in meas
+            )
             mask = np.concatenate([mask, np.zeros(pad, np.float32)])
-        out = (
-            jnp.asarray(ii2), jnp.asarray(jj2), idx, valid, Q, jnp.asarray(mask)
-        )
+        out = (jnp.asarray(ii2), jnp.asarray(jj2), jnp.asarray(mask), meas)
         if self.mesh is not None:
-            import numpy as _np
-
             from mast3r_slam_tpu.parallel import sharding as S
 
-            n_dev = int(_np.prod(self.mesh.devices.shape))
+            n_dev = int(np.prod(self.mesh.devices.shape))
             if out[0].shape[0] % n_dev == 0:
-                out = tuple(S.shard_leading(a, self.mesh) for a in out)
+                out = (
+                    S.shard_leading(out[0], self.mesh),
+                    S.shard_leading(out[1], self.mesh),
+                    S.shard_leading(out[2], self.mesh),
+                    tuple(S.shard_leading(ch, self.mesh) for ch in meas),
+                )
         return out
 
     def _free_mask(self, unique_kf_idx):
@@ -538,16 +751,13 @@ class FactorGraph:
             return
         self.last_unique_kf_idx = unique
         kf = self.keyframes
-        ii2, jj2, idx, valid, Q, mask = self._two_way_padded()
         with kf.lock:
-            Cavg = kf.C / jnp.clip(
-                jnp.asarray(kf.N, jnp.float32)[:, None, None], 1.0
-            )
+            self._ensure_meas("rays")
+            ii2, jj2, mask, meas = self._two_way_padded()
             T_new = gauss_newton_rays(
-                kf.T_WC, kf.X, Cavg, ii2, jj2, idx, valid, Q, mask,
+                kf.T_WC, meas, ii2, jj2, mask,
                 self._free_mask(unique),
                 float(self.cfg["sigma_ray"]), float(self.cfg["sigma_dist"]),
-                float(self.cfg["C_conf"]), float(self.cfg["Q_conf"]),
                 int(self.cfg["max_iters"]), float(self.cfg["delta_norm"]),
             )
             kf.T_WC = T_new
@@ -562,20 +772,14 @@ class FactorGraph:
         self.last_unique_kf_idx = unique
         kf = self.keyframes
         img_size = (kf.h, kf.w)
-        ii2, jj2, idx, valid, Q, mask = self._two_way_padded()
         with kf.lock:
-            Cavg = kf.C / jnp.clip(
-                jnp.asarray(kf.N, jnp.float32)[:, None, None], 1.0
-            )
-            X_rays = jax.vmap(
-                lambda x: geometry.constrain_points_to_ray(img_size, x, self.K)
-            )(kf.X)
+            self._ensure_meas("calib")
+            ii2, jj2, mask, meas = self._two_way_padded()
             T_new = gauss_newton_calib(
-                kf.T_WC, X_rays, Cavg, self.K, ii2, jj2, idx, valid, Q, mask,
+                kf.T_WC, meas, self.K, ii2, jj2, mask,
                 self._free_mask(unique), img_size,
                 float(self.cfg["pixel_border"]), float(self.cfg["depth_eps"]),
                 float(self.cfg["sigma_pixel"]), float(self.cfg["sigma_depth"]),
-                float(self.cfg["C_conf"]), float(self.cfg["Q_conf"]),
                 int(self.cfg["max_iters"]), float(self.cfg["delta_norm"]),
             )
             kf.T_WC = T_new

@@ -160,6 +160,11 @@ class KeyframeBuffer:
         self.pos = jnp.zeros((capacity, self.num_patches, 2), jnp.int32)
         self.is_dirty = np.zeros(capacity, dtype=bool)
         self.version = np.zeros(capacity, dtype=np.int64)
+        # Counts POINTMAP-CONTENT changes only (X/C/N writes), unlike
+        # ``version`` which also bumps on pose-only updates — the factor
+        # graph keys its measured-channel cache on this so a BA solve does
+        # not invalidate every edge it just optimized.
+        self.xc_version = np.zeros(capacity, dtype=np.int64)
         self.K: Optional[jnp.ndarray] = None
         # Host-side copies kept for services/visualization/export.
         self.uimg = [None] * capacity
@@ -189,6 +194,7 @@ class KeyframeBuffer:
             self.feat = self.feat.at[idx].set(frame.feat[0])
             self.pos = self.pos.at[idx].set(frame.pos[0])
             self.is_dirty[idx] = True
+            self.xc_version[idx] += 1
             self.uimg[idx] = frame.uimg
             self.img[idx] = frame.img
             self.img_shapes[idx] = (frame.img_shape, frame.img_true_shape)
@@ -250,6 +256,7 @@ class KeyframeBuffer:
             self.C = self.C.at[idx].set(C)
             self.is_dirty[idx] = True
             self.version[idx] += 1
+            self.xc_version[idx] += 1
             return True
 
     def get_dirty_idx(self):

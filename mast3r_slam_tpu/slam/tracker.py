@@ -481,6 +481,7 @@ class FrameTracker:
                 kfs.N_updates[kf_idx] += 1
                 kfs.is_dirty[kf_idx] = True
                 kfs.version[kf_idx] += 1
+                kfs.xc_version[kf_idx] += 1
 
         # Keyframe selection: low coverage in either direction spawns a new KF.
         new_kf = min(float(out["match_frac_k"]),

@@ -93,6 +93,8 @@ def load_state(path, keyframes, factor_graph=None) -> int:
     if factor_graph is not None and "edges_ii" in z:
         factor_graph.ii = z["edges_ii"]
         factor_graph.jj = z["edges_jj"]
+        if hasattr(factor_graph, "drop_meas_cache"):
+            factor_graph.drop_meas_cache()
         factor_graph.idx_ii2jj = jnp.asarray(z["idx_ii2jj"])
         factor_graph.idx_jj2ii = jnp.asarray(z["idx_jj2ii"])
         factor_graph.valid_match_j = jnp.asarray(z["valid_match_j"])

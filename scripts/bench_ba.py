@@ -1,0 +1,124 @@
+"""Production-scale backend BA benchmark (v5e single chip).
+
+Mirrors FactorGraph.solve_GN_rays at deployment scale: 110-pose buffer,
+128 two-way padded edges x 196k pixels, near-diagonal correspondence
+indices (what converged tracking produces — TPU gather cost is dominated by
+index locality, so the index distribution matters more than the values).
+
+Reports ms per GN iteration by running the same solve at two max_iter
+settings and differencing — that isolates the per-iteration cost from the
+one-time measured-channel precompute, which is the point of the round-2
+optimization (the precompute holds the scattered gather that used to run
+every iteration).
+"""
+
+import pathlib
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from mast3r_slam_tpu.utils.compile_cache import enable as _enable
+_enable()
+
+from mast3r_slam_tpu.ops import lie
+from mast3r_slam_tpu.slam import factor_graph as FG
+
+
+def main():
+    cap, E2, n_pix = 110, 128, 384 * 512
+    W = 512
+    rng = np.random.default_rng(0)
+
+    # realistic keyframe ring: smooth geometry + forward-walking poses
+    u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(384, dtype=np.float32), indexing="xy")
+    z = 2.0 + 0.3 * np.sin(u / 23.0) + 0.2 * np.cos(v / 17.0)
+    X0 = np.stack([(u - 256) / 300 * z, (v - 192) / 300 * z, z], -1)
+    X = jnp.asarray(
+        X0.reshape(1, n_pix, 3)
+        + 0.01 * rng.normal(size=(cap, n_pix, 3)).astype(np.float32)
+    )
+    Cavg = jnp.asarray(rng.uniform(0.2, 1.0, (cap, n_pix, 1)).astype(np.float32))
+    T = jax.vmap(lie.exp)(jnp.asarray(
+        rng.normal(size=(cap, 7)).astype(np.float32) * 0.02
+    ))
+
+    ii = rng.integers(0, cap, E2).astype(np.int32)
+    jj = (ii + 1) % cap
+    base = np.arange(n_pix, dtype=np.int32)
+    idx = np.clip(
+        base[None] + rng.integers(-3 * W, 3 * W, (E2, n_pix)), 0, n_pix - 1
+    ).astype(np.int32)
+    valid = rng.random((E2, n_pix, 1)) < 0.8
+    Q = rng.uniform(0.5, 3.0, (E2, n_pix, 1)).astype(np.float32)
+    mask = np.ones(E2, np.float32)
+    free = np.ones(cap, bool); free[0] = False
+
+    args = (jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx),
+            jnp.asarray(valid), jnp.asarray(Q), jnp.asarray(mask),
+            jnp.asarray(free))
+
+    import time as _t
+    t0 = _t.perf_counter()
+    meas = FG.precompute_meas_rays(X, Cavg, args[0], args[1], args[2],
+                                   args[3], args[4], 0.0, 0.5)
+    jax.block_until_ready(meas)
+    print(f"premeas compile+run: {_t.perf_counter() - t0:.2f}s")
+    t0 = _t.perf_counter()
+    meas = FG.precompute_meas_rays(X, Cavg, args[0], args[1], args[2],
+                                   args[3], args[4], 0.0, 0.5)
+    jax.block_until_ready(meas)
+    print(f"premeas (cached-compile): {(_t.perf_counter() - t0) * 1e3:.1f} ms")
+
+    def solve(T_in, max_iter):
+        # gauss_newton_rays donates its pose buffer — hand it a fresh copy
+        return FG.gauss_newton_rays(
+            jnp.array(T_in), meas, args[0], args[1], args[5], args[6],
+            0.003, 10.0, max_iter, 0.0,  # delta_thresh 0 -> run all
+        )
+
+    # varied inputs per rep (the tunnel dedupes identical dispatches), built
+    # and materialized BEFORE any timing
+    REPS = 3
+    T_variants = [
+        np.asarray(jax.vmap(lie.retr)(T, jnp.full((cap, 7), 1e-4 * (r + 1))))
+        for r in range(REPS)
+    ]
+    T_variants = [jnp.asarray(t) for t in T_variants]
+
+    def run(max_iter):
+        out = solve(T, max_iter)
+        # checksum readback: catches silently-failed programs (block_until_
+        # ready alone does not surface device errors on this tunnel)
+        assert np.isfinite(np.asarray(out)).all()
+        t0 = time.perf_counter()
+        for Tr in T_variants:
+            out = solve(Tr, max_iter)
+        s = float(jnp.sum(out))
+        return (time.perf_counter() - t0) / REPS * 1e3, s
+
+    if "--trace" in sys.argv:
+        run(10)  # compile
+        jax.profiler.start_trace("/tmp/ba_trace")
+        run(10)
+        jax.profiler.stop_trace()
+        print("trace -> /tmp/ba_trace")
+        return
+
+    lo, hi = 2, 10
+    ms_lo, s1 = run(lo)
+    ms_hi, s2 = run(hi)
+    per_iter = (ms_hi - ms_lo) / (hi - lo)
+    pre = ms_lo - lo * per_iter
+    print(f"solve({lo} iters): {ms_lo:.1f} ms   solve({hi} iters): {ms_hi:.1f} ms")
+    print(f"per-GN-iteration: {per_iter:.1f} ms   precompute+overhead: {pre:.1f} ms")
+    print(f"(checksums {s1:.3e} {s2:.3e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,18 +63,18 @@ def test_sharded_gauss_newton_matches_single(mesh):
     Q = jnp.ones((E2, n_pix, 1))
     mask = jnp.ones((E2,), jnp.float32)
     free = jnp.asarray(np.arange(cap) > 0)
-    args = (0.003, 1.0, 0.0, 0.0, 3, 1e-9)
+    meas = FG.precompute_meas_rays(
+        X, Cavg, jnp.asarray(ii), jnp.asarray(jj), idx, valid, Q, 0.0, 0.0)
+    args = (0.003, 1.0, 3, 1e-9)
 
     T_plain = FG.gauss_newton_rays(
-        T.copy(), X, Cavg, jnp.asarray(ii), jnp.asarray(jj), idx, valid, Q,
-        mask, free, *args)
+        T.copy(), meas, jnp.asarray(ii), jnp.asarray(jj), mask, free, *args)
     T_shard = FG.gauss_newton_rays(
-        S.replicate(T.copy(), mesh), S.replicate(X, mesh),
-        S.replicate(Cavg, mesh),
+        S.replicate(T.copy(), mesh),
+        tuple(S.shard_leading(ch, mesh) for ch in meas),
         S.shard_leading(jnp.asarray(ii), mesh),
         S.shard_leading(jnp.asarray(jj), mesh),
-        S.shard_leading(idx, mesh), S.shard_leading(valid, mesh),
-        S.shard_leading(Q, mesh), S.shard_leading(mask, mesh),
+        S.shard_leading(mask, mesh),
         S.replicate(free, mesh), *args)
     np.testing.assert_allclose(np.asarray(T_plain), np.asarray(T_shard),
                                rtol=1e-4, atol=1e-5)
