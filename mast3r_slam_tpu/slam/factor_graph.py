@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from mast3r_slam_tpu.ops import geometry, lie
+from mast3r_slam_tpu.ops import ba_kernels, geometry, lie
 from mast3r_slam_tpu.ops.robust import huber
 
 
@@ -395,6 +395,60 @@ def _accumulate_system(terms_fn, ii, jj, meas, edge_mask, free_mask,
     return H, g
 
 
+def _use_pallas(meas):
+    """The Pallas Gram kernel needs a TPU and a tile-divisible pixel count;
+    everything else (CPU tests, odd sizes, sharded-mesh runs) takes the XLA
+    chunked-scan path."""
+    return (ba_kernels.supports_pallas()
+            and meas[0].shape[1] % (8 * ba_kernels._TNL) == 0)
+
+
+def _edge_blocks_from_gram(G, D, Ti):
+    """Extract per-edge H/g from the kernel's Gram and map to world frame."""
+    H_local = sum(G[:, d * 8:d * 8 + 7, d * 8:d * 8 + 7] for d in range(D))
+    g_local = sum(G[:, d * 8:d * 8 + 7, d * 8 + 7] for d in range(D))
+    adj_inv = lie.adjoint(lie.inv(Ti))
+    H = jnp.einsum("eab,eac,ecd->ebd", adj_inv, H_local, adj_inv)
+    g = jnp.einsum("eab,ea->eb", adj_inv, g_local)
+    return H, g
+
+
+def _rel_pose_rows(T, ii, jj, edge_mask, extra=()):
+    """``[s*R | t | mask | extra...] (E, 13+len(extra))`` for the kernel."""
+    Ti = T[ii]
+    Tij = lie.compose(lie.inv(Ti), T[jj])
+    sR = lie.quat_to_matrix(lie.quaternion(Tij)) * lie.scale(Tij)[..., None]
+    cols = [sR.reshape(-1, 9), lie.translation(Tij), edge_mask[:, None]]
+    if extra:
+        E = ii.shape[0]
+        row = jnp.stack([jnp.asarray(v, sR.dtype) for v in extra])
+        cols.append(jnp.broadcast_to(row[None], (E, len(extra))))
+    return Ti, jnp.concatenate(cols, axis=-1)
+
+
+def _accumulate_pallas_rays(T, meas, ii, jj, edge_mask, free_mask, cap,
+                            sigma_ray, sigma_dist):
+    Ti, rts = _rel_pose_rows(T, ii, jj, edge_mask)
+    G = ba_kernels.gram_rays(rts, meas, sigma_ray, sigma_dist)
+    He, ge = _edge_blocks_from_gram(G, 4, Ti)
+    H0 = jnp.zeros((cap + 1, 7, cap + 1, 7), T.dtype)
+    g0 = jnp.zeros((cap + 1, 7), T.dtype)
+    return _scatter_blocks(H0, g0, He, ge, ii, jj, free_mask, cap)
+
+
+def _accumulate_pallas_calib(T, meas, K, ii, jj, edge_mask, free_mask, cap,
+                             img_size, pixel_border, z_eps,
+                             sigma_pixel, sigma_depth):
+    fx, fy, cx, cy = geometry.decompose_K(K)
+    Ti, rts = _rel_pose_rows(T, ii, jj, edge_mask, extra=(fx, fy, cx, cy))
+    G = ba_kernels.gram_calib(rts, meas, img_size, pixel_border, z_eps,
+                              sigma_pixel, sigma_depth)
+    He, ge = _edge_blocks_from_gram(G, 3, Ti)
+    H0 = jnp.zeros((cap + 1, 7, cap + 1, 7), T.dtype)
+    g0 = jnp.zeros((cap + 1, 7), T.dtype)
+    return _scatter_blocks(H0, g0, He, ge, ii, jj, free_mask, cap)
+
+
 def _solve_system(H, g, free_mask, cap, damping):
     """Dense Cholesky of the accumulated system. Returns ``dx (cap, 7)``."""
     Hd = H[:cap, :, :cap, :].reshape(cap * 7, cap * 7)
@@ -415,7 +469,9 @@ def _solve_system(H, g, free_mask, cap, damping):
     return dx.reshape(cap, 7)
 
 
-@partial(jax.jit, static_argnames=("max_iter",), donate_argnums=(0,))
+@partial(jax.jit,
+         static_argnames=("sigma_ray", "sigma_dist", "max_iter"),
+         donate_argnums=(0,))
 def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
                       sigma_ray, sigma_dist,
                       max_iter, delta_thresh, damping=1e-4):
@@ -427,16 +483,22 @@ def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
     marks poses that may move.
     """
     cap = T_WC.shape[0]
+    pallas = _use_pallas(meas)
 
     def body(state):
         T, it, _ = state
 
-        def terms(ii_c, jj_c, meas_c):
-            return _edge_terms_rays(T, ii_c, jj_c, meas_c,
-                                    sigma_ray, sigma_dist)
+        if pallas:
+            H, g = _accumulate_pallas_rays(
+                T, meas, ii, jj, edge_mask, free_mask, cap,
+                sigma_ray, sigma_dist)
+        else:
+            def terms(ii_c, jj_c, meas_c):
+                return _edge_terms_rays(T, ii_c, jj_c, meas_c,
+                                        sigma_ray, sigma_dist)
 
-        H, g = _accumulate_system(terms, ii, jj, meas,
-                                  edge_mask, free_mask, cap, T.dtype)
+            H, g = _accumulate_system(terms, ii, jj, meas,
+                                      edge_mask, free_mask, cap, T.dtype)
         dx = _solve_system(H, g, free_mask, cap, damping)
         T_new = jax.vmap(lie.retr)(T, dx)
         delta = jnp.linalg.norm(dx)
@@ -452,23 +514,32 @@ def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
     return T
 
 
-@partial(jax.jit, static_argnames=("max_iter", "img_size"), donate_argnums=(0,))
+@partial(jax.jit,
+         static_argnames=("img_size", "pixel_border", "z_eps",
+                          "sigma_pixel", "sigma_depth", "max_iter"),
+         donate_argnums=(0,))
 def gauss_newton_calib(T_WC, meas, K, ii, jj, edge_mask, free_mask, img_size,
                        pixel_border, z_eps, sigma_pixel, sigma_depth,
                        max_iter, delta_thresh, damping=1e-4):
     """Global calibrated BA (pixel + log-depth residuals)."""
     cap = T_WC.shape[0]
+    pallas = _use_pallas(meas)
 
     def body(state):
         T, it, _ = state
 
-        def terms(ii_c, jj_c, meas_c):
-            return _edge_terms_calib(T, ii_c, jj_c, meas_c, K, img_size,
-                                     pixel_border, z_eps, sigma_pixel,
-                                     sigma_depth)
+        if pallas:
+            H, g = _accumulate_pallas_calib(
+                T, meas, K, ii, jj, edge_mask, free_mask, cap, img_size,
+                pixel_border, z_eps, sigma_pixel, sigma_depth)
+        else:
+            def terms(ii_c, jj_c, meas_c):
+                return _edge_terms_calib(T, ii_c, jj_c, meas_c, K, img_size,
+                                         pixel_border, z_eps, sigma_pixel,
+                                         sigma_depth)
 
-        H, g = _accumulate_system(terms, ii, jj, meas,
-                                  edge_mask, free_mask, cap, T.dtype)
+            H, g = _accumulate_system(terms, ii, jj, meas,
+                                      edge_mask, free_mask, cap, T.dtype)
         dx = _solve_system(H, g, free_mask, cap, damping)
         T_new = jax.vmap(lie.retr)(T, dx)
         delta = jnp.linalg.norm(dx)

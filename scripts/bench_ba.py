@@ -110,7 +110,7 @@ def main():
         print("trace -> /tmp/ba_trace")
         return
 
-    lo, hi = 2, 10
+    lo, hi = 5, 25
     ms_lo, s1 = run(lo)
     ms_hi, s2 = run(hi)
     per_iter = (ms_hi - ms_lo) / (hi - lo)

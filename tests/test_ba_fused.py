@@ -100,3 +100,65 @@ def test_fused_matches_dense_calib(seed, dtype):
                                np.asarray(H_d) / h_scale, atol=_TOL[dtype])
     np.testing.assert_allclose(np.asarray(g_f) / g_scale,
                                np.asarray(g_d) / g_scale, atol=_TOL[dtype])
+
+
+# ---------------------------------------------------------------------------
+# Pallas Gram kernel vs the XLA fused path (interpret mode off-TPU)
+# ---------------------------------------------------------------------------
+
+from mast3r_slam_tpu.ops import ba_kernels  # noqa: E402
+
+
+def _mask_weights(sw, rho, mask):
+    return [sw[i] * sw[i] * huber(sw[i] * rho[i]) * mask[:, None]
+            for i in range(len(rho))]
+
+
+def test_pallas_gram_rays_matches_xla(monkeypatch):
+    monkeypatch.setattr(ba_kernels, "_TNL", 128)
+    T, X, Cavg, ii, jj, idx, valid, Q, mask = _random_edge_inputs(3, E=3,
+                                                                  N=1024)
+    meas = FG._premeas_rays(X, Cavg, ii, jj, idx, valid, Q, 0.5, 0.5)
+    maskj = jnp.asarray(mask)
+
+    Ti, rts = FG._rel_pose_rows(T, ii, jj, maskj)
+    G = ba_kernels.gram_rays(rts, meas, 0.003, 10.0, interpret=True)
+    H_p, g_p = FG._edge_blocks_from_gram(G, 4, Ti)
+
+    rho, d_res, Xp, sw, adj_inv = FG._edge_terms_rays(T, ii, jj, meas,
+                                                      0.003, 10.0)
+    H_x, g_x = FG._edge_system_fused(rho, d_res, Xp,
+                                     _mask_weights(sw, rho, maskj), adj_inv)
+    h_scale = float(jnp.max(jnp.abs(H_x))) + 1e-6
+    g_scale = float(jnp.max(jnp.abs(g_x))) + 1e-6
+    np.testing.assert_allclose(np.asarray(H_p) / h_scale,
+                               np.asarray(H_x) / h_scale, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(g_p) / g_scale,
+                               np.asarray(g_x) / g_scale, atol=2e-2)
+
+
+def test_pallas_gram_calib_matches_xla(monkeypatch):
+    monkeypatch.setattr(ba_kernels, "_TNL", 128)
+    T, X, Cavg, ii, jj, idx, valid, Q, mask = _random_edge_inputs(4, E=3,
+                                                                  N=1024)
+    K = jnp.asarray([[40.0, 0.0, 16.0], [0.0, 40.0, 12.0], [0.0, 0.0, 1.0]])
+    meas = FG._premeas_calib(X, Cavg, ii, jj, idx, valid, Q, 32,
+                             1e-6, 0.5, 0.5)
+    maskj = jnp.asarray(mask)
+
+    fx, fy, cx, cy = geometry.decompose_K(K)
+    Ti, rts = FG._rel_pose_rows(T, ii, jj, maskj, extra=(fx, fy, cx, cy))
+    G = ba_kernels.gram_calib(rts, meas, (24, 32), 2.0, 1e-6, 1.0, 0.1,
+                              interpret=True)
+    H_p, g_p = FG._edge_blocks_from_gram(G, 3, Ti)
+
+    rho, d_res, Xp, sw, adj_inv = FG._edge_terms_calib(
+        T, ii, jj, meas, K, (24, 32), 2.0, 1e-6, 1.0, 0.1)
+    H_x, g_x = FG._edge_system_fused(rho, d_res, Xp,
+                                     _mask_weights(sw, rho, maskj), adj_inv)
+    h_scale = float(jnp.max(jnp.abs(H_x))) + 1e-6
+    g_scale = float(jnp.max(jnp.abs(g_x))) + 1e-6
+    np.testing.assert_allclose(np.asarray(H_p) / h_scale,
+                               np.asarray(H_x) / h_scale, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(g_p) / g_scale,
+                               np.asarray(g_x) / g_scale, atol=2e-2)
