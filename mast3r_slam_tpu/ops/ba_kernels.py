@@ -27,7 +27,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Lane tile of the split-pixel dim: a (8, TNL) f32 tile per channel.
-_TNL = 512
+# 2048 lanes -> 64 KB blocks / ~1500 grid programs at production scale
+# (512-lane blocks measured 11 ms/iter of per-program overhead; VMEM use at
+# 2048 is ~3 MB including the bf16 row stack).
+_TNL = 2048
 _HUBER_K = 1.345
 
 
@@ -149,11 +152,21 @@ def _gram_calib_kernel(rts_ref, ui_ref, vi_ref, lz_ref, cf_ref,
     _accumulate(g_ref, rows, compute_dtype)
 
 
+def view_sublane_split(meas):
+    """``(E, N)`` channels → the kernel's ``(E, 8, N/8)`` layout. A REAL
+    relayout copy on TPU (tile assignment changes) — callers with a GN loop
+    must apply it ONCE outside the loop, not per iteration (the in-loop
+    reshape measured 8 x 4 ms copies per iteration)."""
+    return tuple(ch.reshape(ch.shape[0], 8, ch.shape[1] // 8) for ch in meas)
+
+
 def _run_gram(kernel, rts, meas, n_rows, interpret):
-    E, N = meas[0].shape
-    assert N % (8 * _TNL) == 0, (N, 8 * _TNL)
-    n_tiles = N // (8 * _TNL)
-    meas_v = tuple(ch.reshape(E, 8, N // 8) for ch in meas)
+    if meas[0].ndim == 2:
+        meas = view_sublane_split(meas)
+    E, _, M = meas[0].shape
+    assert M % _TNL == 0, (M, _TNL)
+    n_tiles = M // _TNL
+    meas_v = meas
     grid = (E, n_tiles)
     return pl.pallas_call(
         kernel,
