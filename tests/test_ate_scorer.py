@@ -1,0 +1,160 @@
+"""Adversarial property tests for the built-in ATE scorer.
+
+The reference eval pipeline scores with ``evo_ape tum gt est -as``
+(scripts/eval_tum.sh:37-42); ``evaluation.ate_rmse`` is the in-repo
+equivalent. evo is not installable here (no network), so these tests pin the
+scorer's behavior on the cases where association/alignment implementations
+typically diverge: partial overlap, timestamp jitter at the association
+boundary, reflections/degenerate geometry, and scale handling. If evo ever
+becomes importable, the last test cross-validates directly against it.
+"""
+
+import numpy as np
+import pytest
+
+from mast3r_slam_tpu import evaluation as E
+
+
+def _write_tum(path, ts, t, q=None):
+    q = np.tile([0.0, 0.0, 0.0, 1.0], (len(ts), 1)) if q is None else q
+    with open(path, "w") as f:
+        f.write("# ts x y z qx qy qz qw\n")
+        for i in range(len(ts)):
+            f.write(f"{ts[i]:.6f} " + " ".join(f"{v:.8f}" for v in t[i])
+                    + " " + " ".join(f"{v:.8f}" for v in q[i]) + "\n")
+
+
+def _traj(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    ts = 1.0 + np.arange(n) * 0.1
+    steps = rng.normal(scale=0.05, size=(n, 3))
+    return ts, np.cumsum(steps, 0)
+
+
+def _sim3(t, s, R, off):
+    return (s * (R @ t.T)).T + off
+
+
+def _rot(axis, ang):
+    axis = np.asarray(axis, float) / np.linalg.norm(axis)
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
+
+
+def test_exact_recovery_under_sim3_and_jitter(tmp_path):
+    ts, t = _traj()
+    R = _rot([0.3, 1.0, -0.2], 1.1)
+    est = _sim3(t, 2.3, R, np.array([5.0, -2.0, 0.7]))
+    rng = np.random.default_rng(1)
+    ts_j = ts + rng.uniform(-0.015, 0.015, len(ts))  # inside max_diff=0.02
+    _write_tum(tmp_path / "gt.txt", ts, t)
+    _write_tum(tmp_path / "est.txt", ts_j, est)
+    r = E.ate_rmse(tmp_path / "gt.txt", tmp_path / "est.txt")
+    assert r["n_pairs"] == len(ts)
+    assert r["rmse"] < 1e-6, r
+
+
+def test_partial_overlap_associates_only_overlap(tmp_path):
+    ts, t = _traj(80)
+    _write_tum(tmp_path / "gt.txt", ts, t)
+    # estimate covers the second half only
+    _write_tum(tmp_path / "est.txt", ts[40:], t[40:])
+    r = E.ate_rmse(tmp_path / "gt.txt", tmp_path / "est.txt")
+    assert r["n_pairs"] == 40
+    assert r["rmse"] < 1e-9
+
+
+def test_timestamp_offset_boundary(tmp_path):
+    ts, t = _traj(30)
+    _write_tum(tmp_path / "gt.txt", ts, t)
+    _write_tum(tmp_path / "in.txt", ts + 0.019, t)
+    _write_tum(tmp_path / "out.txt", ts + 0.04, t)
+    assert E.ate_rmse(tmp_path / "gt.txt", tmp_path / "in.txt")["n_pairs"] == 30
+    with pytest.raises(ValueError):
+        # every stamp is 0.04 from its own gt stamp (and 0.06 from the
+        # next), both beyond max_diff=0.02 -> zero pairs
+        E.ate_rmse(tmp_path / "gt.txt", tmp_path / "out.txt")
+
+
+def test_association_is_one_to_one(tmp_path):
+    # two est frames nearest to the SAME gt stamp: only one may claim it
+    ts_g = np.array([1.0, 2.0, 3.0, 4.0])
+    t_g = np.arange(12, dtype=float).reshape(4, 3)
+    ts_e = np.array([0.999, 1.001, 2.0, 3.0, 4.0])
+    t_e = np.vstack([t_g[0], t_g[:4]])
+    ia, ib = E.associate(ts_e, ts_g, 0.02)
+    assert len(ib) == len(set(ib.tolist())), "gt index claimed twice"
+    assert len(ia) == 4
+
+
+def test_reflection_not_chosen_by_alignment(tmp_path):
+    # mirrored estimate: a proper-rotation Umeyama must NOT invert chirality,
+    # so the residual stays large instead of silently flipping the map
+    ts, t = _traj(50, seed=3)
+    est = t.copy()
+    est[:, 2] *= -1.0
+    _write_tum(tmp_path / "gt.txt", ts, t)
+    _write_tum(tmp_path / "est.txt", ts, est)
+    r = E.ate_rmse(tmp_path / "gt.txt", tmp_path / "est.txt")
+    s, R, _ = E.umeyama_alignment(est, t)
+    assert np.linalg.det(R) > 0.99
+    assert r["rmse"] > 1e-3
+
+
+def test_degenerate_collinear_trajectory_is_finite(tmp_path):
+    ts = 1.0 + np.arange(20) * 0.1
+    t = np.stack([np.linspace(0, 2, 20), np.zeros(20), np.zeros(20)], -1)
+    R = _rot([0, 0, 1.0], 0.7)
+    _write_tum(tmp_path / "gt.txt", ts, t)
+    _write_tum(tmp_path / "est.txt", ts, _sim3(t, 1.5, R, np.ones(3)))
+    r = E.ate_rmse(tmp_path / "gt.txt", tmp_path / "est.txt")
+    assert np.isfinite(r["rmse"])
+    assert r["rmse"] < 1e-6  # a line can still be aligned exactly
+
+
+def test_scale_handling(tmp_path):
+    ts, t = _traj(40, seed=4)
+    _write_tum(tmp_path / "gt.txt", ts, t)
+    _write_tum(tmp_path / "est.txt", ts, 3.0 * t)
+    with_s = E.ate_rmse(tmp_path / "gt.txt", tmp_path / "est.txt", scale=True)
+    without = E.ate_rmse(tmp_path / "gt.txt", tmp_path / "est.txt",
+                         scale=False)
+    assert with_s["rmse"] < 1e-6   # %.8f file quantization floor
+    assert without["rmse"] > 0.1
+
+
+def test_noise_floor_calibration(tmp_path):
+    # known injected noise: rmse must reproduce it (±30%), not under-report
+    ts, t = _traj(500, seed=5)
+    rng = np.random.default_rng(6)
+    sigma = 0.03
+    noisy = t + rng.normal(scale=sigma, size=t.shape)
+    _write_tum(tmp_path / "gt.txt", ts, t)
+    _write_tum(tmp_path / "est.txt", ts, noisy)
+    r = E.ate_rmse(tmp_path / "gt.txt", tmp_path / "est.txt")
+    expected = sigma * np.sqrt(3)
+    assert 0.7 * expected < r["rmse"] < 1.3 * expected
+
+
+def test_against_evo_if_available(tmp_path):
+    pytest.importorskip("evo")
+    from evo.core import metrics, sync
+    from evo.tools import file_interface
+
+    ts, t = _traj(60, seed=7)
+    R = _rot([1.0, 0.2, 0.1], 0.5)
+    est = _sim3(t, 1.7, R, np.array([1.0, 2.0, 3.0]))
+    est += np.random.default_rng(8).normal(scale=0.01, size=est.shape)
+    _write_tum(tmp_path / "gt.txt", ts, t)
+    _write_tum(tmp_path / "est.txt", ts, est)
+
+    ours = E.ate_rmse(tmp_path / "gt.txt", tmp_path / "est.txt")
+    gt = file_interface.read_tum_trajectory_file(str(tmp_path / "gt.txt"))
+    es = file_interface.read_tum_trajectory_file(str(tmp_path / "est.txt"))
+    gt, es = sync.associate_trajectories(gt, es, max_diff=0.02)
+    es.align(gt, correct_scale=True)
+    ape = metrics.APE(metrics.PoseRelation.translation_part)
+    ape.process_data((gt, es))
+    evo_rmse = ape.get_statistic(metrics.StatisticsType.rmse)
+    assert abs(ours["rmse"] - evo_rmse) < 1e-6 + 0.05 * evo_rmse
