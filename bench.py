@@ -193,7 +193,7 @@ def main():
         idx8 = jnp.tile(idx_new[:1], (8, 1))
         meas_new = FG.precompute_meas_rays(
             X_kfs, Cavg, ii[:8], jj[:8], idx8,
-            jnp.tile(valid_new[:1, :, None], (8, 1, 1)), Q_e[:8], 0.0, 1.5)
+            jnp.tile(valid_new[:1], (8, 1, 1)), Q_e[:8], 0.0, 1.5)
         # production global BA solve over the standing graph
         T_in = jax.vmap(lie.retr)(T_kfs, jnp.full((cap, 7), 1e-4 * (r + 1)))
         T_out = FG.gauss_newton_rays(
@@ -214,18 +214,43 @@ def main():
     ev_ms = (time.perf_counter() - t0) * 1e3
     log(f"backend event (decode+premeas+10-iter BA): {ev_ms:.1f} ms")
 
-    # ---- e2e window: tracking with keyframe-cadenced backend events -------
-    KF_EVERY, N_FRAMES = 6, 24
+    # per-stage split (diagnosis log; the combined number above is what the
+    # e2e window pays)
     t0 = time.perf_counter()
-    for f in range(N_FRAMES):
-        out = track_step(params, img_f, feat_k, pos_k, T_WCk)
-        if f % KF_EVERY == KF_EVERY - 1:
-            outb = backend_event(f)
-    jax.block_until_ready((out, outb))
-    dt_e2e = (time.perf_counter() - t0) / N_FRAMES
+    idx_new, valid_new = backend_decode(params, feat_k, feat_f2 + 2e-6)
+    jax.block_until_ready(idx_new)
+    log(f"  stage decode+match: {(time.perf_counter() - t0) * 1e3:.1f} ms")
+    t0 = time.perf_counter()
+    meas_new = FG.precompute_meas_rays(
+        X_kfs, Cavg, ii[:8], jj[:8], jnp.tile(idx_new[:1], (8, 1)),
+        jnp.tile(valid_new[:1], (8, 1, 1)), Q_e[:8], 0.0, 1.5)
+    jax.block_until_ready(meas_new)
+    log(f"  stage premeas-new: {(time.perf_counter() - t0) * 1e3:.1f} ms")
+    t0 = time.perf_counter()
+    T_out = FG.gauss_newton_rays(
+        jax.vmap(lie.retr)(T_kfs, jnp.full((cap, 7), 3e-4)), meas, ii, jj,
+        mask_e, free, 0.003, 10.0, 10, 1e-8)
+    jax.block_until_ready(T_out)
+    log(f"  stage BA solve(10): {(time.perf_counter() - t0) * 1e3:.1f} ms")
+
+    # ---- e2e window: tracking with keyframe-cadenced backend events -------
+    # median of 3 windows: alternating-program dispatch on the tunnel has
+    # 2x wall-clock variance per individual window
+    KF_EVERY, N_FRAMES = 6, 24
+    window_ms = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        for f in range(N_FRAMES):
+            out = track_step(params, img_f, feat_k, pos_k, T_WCk)
+            if f % KF_EVERY == KF_EVERY - 1:
+                outb = backend_event(w * N_FRAMES + f)
+        jax.block_until_ready((out, outb))
+        window_ms.append((time.perf_counter() - t0) / N_FRAMES * 1e3)
+        log(f"  window {w}: {window_ms[-1]:.1f} ms/frame")
+    dt_e2e = sorted(window_ms)[1] / 1e3
     fps_e2e = 1.0 / dt_e2e
-    log(f"e2e: {dt_e2e * 1e3:.1f} ms/frame ({KF_EVERY}-frame KF cadence) "
-        f"→ {fps_e2e:.2f} FPS")
+    log(f"e2e: {dt_e2e * 1e3:.1f} ms/frame ({KF_EVERY}-frame KF cadence, "
+        f"median of 3 windows) → {fps_e2e:.2f} FPS")
 
     print(json.dumps({
         "metric": "e2e_fps_512",

@@ -398,9 +398,14 @@ def _accumulate_system(terms_fn, ii, jj, meas, edge_mask, free_mask,
 def _use_pallas(meas):
     """The Pallas Gram kernel needs a TPU and a tile-divisible pixel count;
     everything else (CPU tests, odd sizes, sharded-mesh runs) takes the XLA
-    chunked-scan path."""
-    return (ba_kernels.supports_pallas()
-            and meas[0].shape[1] % (8 * ba_kernels._TNL) == 0)
+    chunked-scan path. Channels may arrive flat ``(E, N)`` or already in the
+    kernel's split ``(E, 8, N/8)`` layout."""
+    if not ba_kernels.supports_pallas():
+        return False
+    ch = meas[0]
+    if ch.ndim == 3:
+        return ch.shape[2] % ba_kernels._TNL == 0
+    return ch.shape[1] % (8 * ba_kernels._TNL) == 0
 
 
 def _edge_blocks_from_gram(G, D, Ti):
@@ -484,10 +489,13 @@ def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
     """
     cap = T_WC.shape[0]
     pallas = _use_pallas(meas)
-    if pallas:
+    if pallas and meas[0].ndim == 2:
         # the kernel's sublane-split relayout is a real copy — do it ONCE
-        # per solve, not inside the GN loop (measured 32 ms/solve in-loop)
+        # per solve, not inside the GN loop (measured 32 ms/solve in-loop);
+        # the FactorGraph cache stores the split layout to skip even this
         meas = ba_kernels.view_sublane_split(meas)
+    elif not pallas and meas[0].ndim == 3:
+        meas = tuple(ch.reshape(ch.shape[0], -1) for ch in meas)
 
     def body(state):
         T, it, _ = state
@@ -528,8 +536,10 @@ def gauss_newton_calib(T_WC, meas, K, ii, jj, edge_mask, free_mask, img_size,
     """Global calibrated BA (pixel + log-depth residuals)."""
     cap = T_WC.shape[0]
     pallas = _use_pallas(meas)
-    if pallas:
+    if pallas and meas[0].ndim == 2:
         meas = ba_kernels.view_sublane_split(meas)
+    elif not pallas and meas[0].ndim == 3:
+        meas = tuple(ch.reshape(ch.shape[0], -1) for ch in meas)
 
     def body(state):
         T, it, _ = state
@@ -605,6 +615,11 @@ class FactorGraph:
         self.last_unique_kf_idx: np.ndarray | None = None
         # Measured-channel cache: per ONE-WAY edge and direction, plus the
         # (gather-side, row-side) keyframe versions it was computed at.
+        # Stored directly in the Pallas kernel's (E, 8, N/8) layout when the
+        # kernel will run — the relayout is a real copy, paid once per edge
+        # at premeas time instead of per solve.
+        self._split_layout = (ba_kernels.supports_pallas()
+                              and n_pix % (8 * ba_kernels._TNL) == 0)
         self._meas_kind: str | None = None
         self._meas_ij: tuple | None = None        # dir i->j (gather side ii)
         self._meas_ji: tuple | None = None        # dir j->i (gather side jj)
@@ -704,7 +719,10 @@ class FactorGraph:
             meas = precompute_meas_calib(
                 X, Cavg, g_kf, r_kf, idx, valid, Q, self.keyframes.w,
                 float(self.cfg["depth_eps"]), C_thresh, Q_thresh)
-        return tuple(ch[:len(rows)] for ch in meas)
+        meas = tuple(ch[:len(rows)] for ch in meas)
+        if self._split_layout:
+            meas = ba_kernels.view_sublane_split(meas)
+        return meas
 
     def _ensure_meas(self, kind):
         """Create/refresh the per-edge measured-channel cache: new edges are
@@ -796,7 +814,7 @@ class FactorGraph:
             jj2 = np.concatenate([jj2, np.zeros(pad, np.int32)])
             meas = tuple(
                 jnp.concatenate(
-                    [ch, jnp.zeros((pad, self.n_pix), ch.dtype)])
+                    [ch, jnp.zeros((pad,) + ch.shape[1:], ch.dtype)])
                 for ch in meas
             )
             mask = np.concatenate([mask, np.zeros(pad, np.float32)])
