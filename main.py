@@ -239,7 +239,12 @@ def main(argv=None):
 
             if mode == Mode.TRACKING and add_new_kf:
                 keyframes.append(frame)
-                states.queue_global_optimization(len(keyframes) - 1)
+                new_idx = len(keyframes) - 1
+                if getattr(tracker, "last_kf_match", None) is not None:
+                    prev_kf, idx_f2k = tracker.last_kf_match
+                    states.set_kf_match_hint(prev_kf, new_idx, idx_f2k[0])
+                    tracker.last_kf_match = None
+                states.queue_global_optimization(new_idx)
                 if refiner.is_alive():  # health gate (reference main.py:403-408)
                     refiner.maybe_schedule_sliding_window(len(keyframes) - 1)
 

@@ -131,11 +131,15 @@ class MASt3RInference:
             Xf[1][None], Cf[1][None], Qf[1][None],
         )
 
-    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, img_hw):
+    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, img_hw,
+                        init_i2j=None):
         """Symmetric matching for B keyframe pairs (backend edge creation).
 
         Returns ``(idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij)``
-        — reference mast3r_utils.py:142-180 semantics.
+        — reference mast3r_utils.py:142-180 semantics. ``init_i2j (B, N)``
+        optionally warm-starts the i→j matcher rows (e.g. the tracker's
+        converged correspondence for a consecutive edge); the j→i direction
+        always cold-starts from identity.
         """
         X, C, D, Q = self.decode_symmetric_batch(feat_i, pos_i, feat_j, pos_j, img_hw)
         b = X.shape[1]
@@ -148,8 +152,14 @@ class MASt3RInference:
         X21 = jnp.concatenate([Xji, Xij], axis=0)
         D11 = jnp.concatenate([Dii, Djj], axis=0)
         D21 = jnp.concatenate([Dji, Dij], axis=0)
+        init = None
+        if init_i2j is not None:
+            n = Xii.shape[1] * Xii.shape[2]
+            ident = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None],
+                                     (b, n))
+            init = jnp.concatenate([init_i2j.astype(jnp.int32), ident], axis=0)
         idx_1_to_2, valid_match_2 = matching.match(
-            X11, X21, D11, D21, **self._match_kw()
+            X11, X21, D11, D21, idx_1_to_2_init=init, **self._match_kw()
         )
 
         idx_i2j = idx_1_to_2[:b]

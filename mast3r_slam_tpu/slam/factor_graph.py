@@ -629,12 +629,15 @@ class FactorGraph:
     def n_edges(self):
         return int(self.ii.shape[0])
 
-    def add_factors(self, ii_new, jj_new, min_match_frac, is_reloc=False):
+    def add_factors(self, ii_new, jj_new, min_match_frac, is_reloc=False,
+                    init_hint=None):
         """Symmetric-decode candidate edges; accept by bidirectional coverage.
 
         Returns True if at least one edge was added. In strict-reloc mode the
         whole batch is rejected if ANY edge is invalid (reference
-        global_opt.py:78-79).
+        global_opt.py:78-79). ``init_hint``: optional ``(i, j, idx_j2i)``
+        warm start — the edge (i, j) in this batch gets the tracker's
+        converged correspondence as its i→j matcher init.
         """
         if len(ii_new) == 0:
             return False
@@ -646,8 +649,21 @@ class FactorGraph:
             pos_j = kf.pos[np.asarray(jj_new)]
         img_hw = kf.img_shapes[int(ii_new[0])][1]
 
+        init_i2j = None
+        if init_hint is not None:
+            hi, hj, hidx = init_hint
+            rows = [r for r in range(len(ii_new))
+                    if int(ii_new[r]) == int(hi) and int(jj_new[r]) == int(hj)]
+            if rows:
+                n = self.n_pix
+                init_np = np.broadcast_to(np.arange(n, dtype=np.int32)[None],
+                                          (len(ii_new), n)).copy()
+                init_np[rows[0]] = np.asarray(hidx).reshape(-1)[:n]
+                init_i2j = jnp.asarray(init_np)
+
         (idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij) = (
-            self.model.match_symmetric(feat_i, pos_i, feat_j, pos_j, img_hw)
+            self.model.match_symmetric(feat_i, pos_i, feat_j, pos_j, img_hw,
+                                       init_i2j=init_i2j)
         )
 
         b_idx = jnp.arange(idx_i2j.shape[0])[:, None]

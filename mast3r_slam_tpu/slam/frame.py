@@ -284,10 +284,22 @@ class States:
         self.edges_ii: list[int] = []
         self.edges_jj: list[int] = []
         self.current_frame: Optional[Frame] = None
+        # (i, j) -> idx_j_pixels->i_pixels warm start for the backend's
+        # consecutive-edge matcher (set at keyframe creation, consumed once)
+        self.kf_match_hint: Optional[tuple] = None
 
     def set_frame(self, frame: Frame):
         with self.lock:
             self.current_frame = frame
+
+    def set_kf_match_hint(self, i: int, j: int, idx_j2i) -> None:
+        with self.lock:
+            self.kf_match_hint = (i, j, idx_j2i)
+
+    def take_kf_match_hint(self):
+        with self.lock:
+            hint, self.kf_match_hint = self.kf_match_hint, None
+            return hint
 
     def get_frame(self) -> Optional[Frame]:
         with self.lock:

@@ -184,6 +184,7 @@ class Backend:
             self.graph.add_factors(
                 kf_idx, frame_idx,
                 float(self.cfg.get("local_opt", {}).get("min_match_frac", 0.1)),
+                init_hint=self.states.take_kf_match_hint(),
             )
         self.states.set_edges(list(self.graph.ii), list(self.graph.jj))
         if self.cfg.get("use_calib", False):

@@ -220,7 +220,7 @@ def make_scfg(tracking_cfg: dict, matching_cfg: dict) -> tuple:
         float(m.get("dist_thresh", 0.1)), int(m.get("radius", 3)),
         int(m.get("dilation_max", 5)),
         matching.resolve_refine_mode(m), float(m.get("plateau_frac", 0.001)),
-        str(c["filtering_mode"]),
+        str(c["filtering_mode"]), str(c.get("filtering_score", "median")),
     )
 
 
@@ -245,7 +245,8 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
     (sigma_ray, sigma_dist, sigma_pixel, sigma_depth, huber_k, max_iters,
      rel_error, delta_norm, C_conf, Q_conf, pixel_border, depth_eps,
      match_max_iter, match_lambda, match_conv, match_dist, match_radius,
-     match_dilation, match_refine_mode, match_plateau, filtering_mode) = scfg
+     match_dilation, match_refine_mode, match_plateau, filtering_mode,
+     filtering_score) = scfg
     H, W = img_hw
     n = H * W
 
@@ -352,9 +353,12 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
         C_k_new = jnp.where(first, Ckf[0], C_k)
         N_k_new = 2.0  # sentinel: > 1 blocks later updates
     elif filtering_mode == "best_score":
-        # stored map C is always the winning update's C, so comparing medians
-        # of stored-vs-new reproduces the reference's best-score policy.
-        better = jnp.median(Ckf[0]) > jnp.median(C_k / jnp.maximum(N_k, 1.0))
+        # The stored map's C is always the WINNING update's C (N stays 1 in
+        # this mode), so scoring stored-vs-new directly reproduces the
+        # reference's persistent best-score policy (frame.py:62-68) without
+        # carrying a separate score field through the fused program.
+        score = (jnp.median if filtering_score == "median" else jnp.mean)
+        better = score(Ckf[0]) > score(C_k / jnp.maximum(N_k, 1.0))
         X_k_new = jnp.where(better, Xkk, X_k)
         C_k_new = jnp.where(better, Ckf[0], C_k)
         N_k_new = 1.0
@@ -415,6 +419,7 @@ class FrameTracker:
         self.full_cfg = cfg
         self.quality_service = quality_service
         self.idx_f2k = None             # warm-start correspondence across frames
+        self.last_kf_match = None       # (kf_idx, idx_f2k) at last KF creation
 
     def reset_idx_f2k(self):
         self.idx_f2k = None
@@ -487,6 +492,10 @@ class FrameTracker:
         new_kf = min(float(out["match_frac_k"]),
                      float(out["unique_frac_f"])) < cfg["match_frac_thresh"]
         if new_kf:
+            # keep this frame's converged correspondence against the current
+            # keyframe: when the frame becomes keyframe kf_idx+1, the backend
+            # warm-starts the consecutive edge's matcher with it
+            self.last_kf_match = (kf_idx, out["idx_f2k"])
             self.reset_idx_f2k()
 
         return (

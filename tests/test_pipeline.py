@@ -28,7 +28,8 @@ CFG = {
 class StubModel:
     """Identity-correspondence stand-in for MASt3RInference."""
 
-    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, img_hw):
+    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, img_hw,
+                        init_i2j=None):
         b = feat_i.shape[0]
         idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (b, N))
         valid = jnp.ones((b, N, 1), bool)
@@ -212,3 +213,14 @@ def test_global_ba_calib_reduces_pose_error():
     graph.solve_GN_calib()
     e1 = pose_err()
     assert e1 < e0 * 0.5, f"calib BA did not reduce pose error: {e0} -> {e1}"
+
+
+def test_add_factors_accepts_consecutive_edge_hint():
+    """The backend warm-start hint path: add_factors with init_hint still
+    builds the edge (the hint only seeds the matcher's LM init)."""
+    kfs = make_keyframes(3, noise=0.02)
+    graph = FactorGraph(StubModel(), kfs, CFG)
+    n = kfs.h * kfs.w
+    hint = (1, 2, np.arange(n, dtype=np.int32))
+    assert graph.add_factors([1], [2], 0.0, init_hint=hint)
+    assert graph.n_edges() == 1

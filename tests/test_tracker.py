@@ -102,3 +102,24 @@ def test_singular_problem_reports_failure():
         0.003, 10.0, 1.345, 10, 1e-9, 1e-9,
     )
     assert not bool(ok)
+
+
+def test_frame_best_score_fusion_policy():
+    """best_score keeps the highest-scoring update (reference frame.py:62-68),
+    for both median and mean scoring."""
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.slam.frame import Frame
+
+    for score in ("median", "mean"):
+        fr = Frame(frame_id=0, img=None, img_shape=(2, 3),
+                   img_true_shape=(2, 3), uimg=None)
+        X1 = jnp.ones((6, 3)); C1 = jnp.full((6, 1), 2.0)
+        X2 = jnp.full((6, 3), 5.0); C2 = jnp.full((6, 1), 1.0)
+        X3 = jnp.full((6, 3), 9.0); C3 = jnp.full((6, 1), 3.0)
+        fr.update_pointmap(X1, C1, "best_score", score)
+        fr.update_pointmap(X2, C2, "best_score", score)   # lower score: keep
+        assert float(fr.X_canon[0, 0]) == 1.0
+        fr.update_pointmap(X3, C3, "best_score", score)   # higher: replace
+        assert float(fr.X_canon[0, 0]) == 9.0
+        assert float(fr.C[0, 0]) == 3.0
