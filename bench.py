@@ -170,9 +170,11 @@ def main():
     jax.block_until_ready(meas)
 
     @jax.jit
-    def backend_decode(params, feat_a, feat_b):
+    def backend_decode(params, feat_a, feat_b, idx_warm):
         # symmetric pair decode for the new keyframe's factors (B=2: both
-        # directions of one candidate pair through the batched decoder)
+        # directions of one candidate pair through the batched decoder).
+        # The i->j direction warm-starts from the tracker's converged
+        # correspondence, as the production add_factors path does.
         d1, d2 = M.decode_pair(
             params, cfg,
             jnp.concatenate([feat_a, feat_b]), jnp.concatenate([pos_k, pos_k]),
@@ -183,12 +185,15 @@ def main():
         Xb2 = X_shift + 1e-4 * jnp.tanh(rb2["pts3d"])
         Db1 = _norm(D_scene + 0.05 * rb1["desc"])
         Db2 = _norm(D_shift + 0.05 * rb2["desc"])
-        return matching.match(Xb1, Xb2, Db1, Db2)
+        init = jnp.stack([idx_warm,
+                          jnp.arange(n_pix, dtype=jnp.int32)])
+        return matching.match(Xb1, Xb2, Db1, Db2, idx_1_to_2_init=init)
 
-    def backend_event(r):
+    def backend_event(r, idx_warm):
         # vary inputs per event — the tunnel dedupes identical dispatches
         idx_new, valid_new = backend_decode(params, feat_k,
-                                            feat_f2 + 1e-6 * (r + 1))
+                                            feat_f2 + 1e-6 * (r + 1),
+                                            idx_warm)
         # premeas for the new edges (8-bucket, as FactorGraph appends)
         idx8 = jnp.tile(idx_new[:1], (8, 1))
         meas_new = FG.precompute_meas_rays(
@@ -203,13 +208,15 @@ def main():
 
     feat_f2, _ = ek(params, img_f)
 
+    idx_track = out[1][0]  # tracker's converged correspondence (warm start)
+
     log("compiling backend event...")
     t0 = time.perf_counter()
-    outb = backend_event(0)
+    outb = backend_event(0, idx_track)
     jax.block_until_ready(outb)
     log(f"backend event compile+first: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
-    outb = backend_event(1)
+    outb = backend_event(1, idx_track)
     jax.block_until_ready(outb)
     ev_ms = (time.perf_counter() - t0) * 1e3
     log(f"backend event (decode+premeas+10-iter BA): {ev_ms:.1f} ms")
@@ -217,7 +224,8 @@ def main():
     # per-stage split (diagnosis log; the combined number above is what the
     # e2e window pays)
     t0 = time.perf_counter()
-    idx_new, valid_new = backend_decode(params, feat_k, feat_f2 + 2e-6)
+    idx_new, valid_new = backend_decode(params, feat_k, feat_f2 + 2e-6,
+                                        idx_track)
     jax.block_until_ready(idx_new)
     log(f"  stage decode+match: {(time.perf_counter() - t0) * 1e3:.1f} ms")
     t0 = time.perf_counter()
@@ -243,7 +251,7 @@ def main():
         for f in range(N_FRAMES):
             out = track_step(params, img_f, feat_k, pos_k, T_WCk)
             if f % KF_EVERY == KF_EVERY - 1:
-                outb = backend_event(w * N_FRAMES + f)
+                outb = backend_event(w * N_FRAMES + f, out[1][0])
         jax.block_until_ready((out, outb))
         window_ms.append((time.perf_counter() - t0) / N_FRAMES * 1e3)
         log(f"  window {w}: {window_ms[-1]:.1f} ms/frame")
