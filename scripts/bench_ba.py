@@ -74,6 +74,9 @@ def main():
                                    args[3], args[4], 0.0, 0.5)
     jax.block_until_ready(meas)
     print(f"premeas (cached-compile): {(_t.perf_counter() - t0) * 1e3:.1f} ms")
+    # production FactorGraph path: the cache holds the kernel's split layout
+    meas = FG.ba_kernels.view_sublane_split(meas)
+    jax.block_until_ready(meas)
 
     def solve(T_in, max_iter):
         # gauss_newton_rays donates its pose buffer — hand it a fresh copy
