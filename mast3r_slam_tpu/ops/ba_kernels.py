@@ -149,6 +149,11 @@ def _gram_calib_kernel(rts_ref, ui_ref, vi_ref, lz_ref, cf_ref,
         sq = sqc / sigmas[dd] * jnp.sqrt(hub)
         for ch in _jrow_entries(*d_res[dd], px, py, pz) + [rho[dd]]:
             rows.append(sq * ch)
+    # pad the Gram to 32 rows: the 24-row (8, 24, TNL) contraction hits a
+    # catastrophic Mosaic lowering (a 10-iteration solve measured 18.7 s vs
+    # parity with the 32-row rays kernel once padded); zeros cost nothing
+    # on the MXU
+    rows += [zero] * 8
     _accumulate(g_ref, rows, compute_dtype)
 
 
@@ -213,13 +218,13 @@ def gram_calib(rts, meas, img_size, pixel_border, z_eps,
 
     ``rts (E, 17)``: ``[s*R | t | edge_mask | fx fy cx cy]``; ``meas``: the
     7 calib channels from ``factor_graph._premeas_calib``. Returns
-    ``G (E, 24, 24)`` f32.
+    ``G (E, 32, 32)`` f32 (rows 24+ are the zero padding block).
     """
     kern = functools.partial(
         _gram_calib_kernel, img_size=img_size, pixel_border=pixel_border,
         z_eps=z_eps, sigma_pixel=sigma_pixel, sigma_depth=sigma_depth,
         compute_dtype=compute_dtype)
-    return _run_gram(kern, rts, meas, 24, interpret)
+    return _run_gram(kern, rts, meas, 32, interpret)
 
 
 def supports_pallas() -> bool:
