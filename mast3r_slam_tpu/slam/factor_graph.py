@@ -475,11 +475,13 @@ def _solve_system(H, g, free_mask, cap, damping):
 
 
 @partial(jax.jit,
-         static_argnames=("sigma_ray", "sigma_dist", "max_iter"),
+         static_argnames=("sigma_ray", "sigma_dist", "max_iter",
+                          "allow_pallas"),
          donate_argnums=(0,))
 def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
                       sigma_ray, sigma_dist,
-                      max_iter, delta_thresh, damping=1e-4):
+                      max_iter, delta_thresh, damping=1e-4,
+                      allow_pallas=True):
     """Global ray-alignment BA over padded two-way edges. Updates T_WC (cap, 8).
 
     ``meas``: pose-invariant channel stacks from :func:`precompute_meas_rays`
@@ -488,7 +490,7 @@ def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
     marks poses that may move.
     """
     cap = T_WC.shape[0]
-    pallas = _use_pallas(meas)
+    pallas = allow_pallas and _use_pallas(meas)
     if pallas and meas[0].ndim == 2:
         # the kernel's sublane-split relayout is a real copy — do it ONCE
         # per solve, not inside the GN loop (measured 32 ms/solve in-loop);
@@ -528,14 +530,16 @@ def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
 
 @partial(jax.jit,
          static_argnames=("img_size", "pixel_border", "z_eps",
-                          "sigma_pixel", "sigma_depth", "max_iter"),
+                          "sigma_pixel", "sigma_depth", "max_iter",
+                          "allow_pallas"),
          donate_argnums=(0,))
 def gauss_newton_calib(T_WC, meas, K, ii, jj, edge_mask, free_mask, img_size,
                        pixel_border, z_eps, sigma_pixel, sigma_depth,
-                       max_iter, delta_thresh, damping=1e-4):
+                       max_iter, delta_thresh, damping=1e-4,
+                       allow_pallas=True):
     """Global calibrated BA (pixel + log-depth residuals)."""
     cap = T_WC.shape[0]
-    pallas = _use_pallas(meas)
+    pallas = allow_pallas and _use_pallas(meas)
     if pallas and meas[0].ndim == 2:
         meas = ba_kernels.view_sublane_split(meas)
     elif not pallas and meas[0].ndim == 3:
@@ -618,7 +622,8 @@ class FactorGraph:
         # Stored directly in the Pallas kernel's (E, 8, N/8) layout when the
         # kernel will run — the relayout is a real copy, paid once per edge
         # at premeas time instead of per solve.
-        self._split_layout = (ba_kernels.supports_pallas()
+        self._split_layout = (mesh is None
+                              and ba_kernels.supports_pallas()
                               and n_pix % (8 * ba_kernels._TNL) == 0)
         self._meas_kind: str | None = None
         self._meas_ij: tuple | None = None        # dir i->j (gather side ii)
@@ -870,6 +875,7 @@ class FactorGraph:
                 self._free_mask(unique),
                 float(self.cfg["sigma_ray"]), float(self.cfg["sigma_dist"]),
                 int(self.cfg["max_iters"]), float(self.cfg["delta_norm"]),
+                allow_pallas=self.mesh is None,
             )
             kf.T_WC = T_new
             for i in unique[int(self.cfg["pin"]):]:
@@ -892,6 +898,7 @@ class FactorGraph:
                 float(self.cfg["pixel_border"]), float(self.cfg["depth_eps"]),
                 float(self.cfg["sigma_pixel"]), float(self.cfg["sigma_depth"]),
                 int(self.cfg["max_iters"]), float(self.cfg["delta_norm"]),
+                allow_pallas=self.mesh is None,
             )
             kf.T_WC = T_new
             for i in unique[int(self.cfg["pin"]):]:
