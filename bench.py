@@ -1,16 +1,27 @@
 """End-to-end SLAM benchmark on real hardware.
 
-Primary metric: e2e FPS over a simulated production window — per-frame
-frontend tracking (ViT-L encode, dual cross-decoder + DPT/MLP heads,
-iterative-projection matching, Sim(3) GN pose solve) PLUS the backend work a
-keyframe event dispatches onto the SAME chip every KF_EVERY frames (batched
-symmetric pair decode for new factors, measured-channel premeas for the new
-edges, and a production-scale 10-iteration global BA solve over 128 two-way
-edges). A single chip serializes XLA programs, so the backend genuinely
-stalls tracking — this measures that contention instead of hiding it
-(frontend-only FPS is still logged to stderr). Reference call stacks:
-SURVEY.md §3.2/§3.3; the 8.5 FPS RTX-4090 baseline is likewise a full-system
-number (BASELINE.md, reference CHANGELOG.md:557).
+Primary metric: e2e FPS over a simulated production window covering EVERY
+device program the full system dispatches onto the chip:
+
+- per frame: the complete frontend tracking step (ViT-L encode, dual
+  cross-decoder + DPT/MLP heads, iterative-projection matching, Sim(3) GN
+  pose solve, keyframe pointmap fusion, keyframe-selection statistics,
+  quality-job tensors — the same stage list as ``tracker.track_core``, via
+  its helpers) plus the quality-service batch the tracker submits each frame
+  (``quality_core.compute_quality`` — async thread in production, but the
+  device still serializes it);
+- every KF_EVERY frames, a keyframe event: batched symmetric pair decode for
+  new factors, measured-channel premeas for the new edges, a
+  production-scale 10-iteration global BA solve over 128 two-way edges, and
+  the local-TSDF refine block batch the event schedules
+  (``build_block_tsdf`` + ``raycast_block`` × max_rois).
+
+A single chip serializes XLA programs, so all of this genuinely stalls
+tracking — the window measures that contention instead of hiding it
+(frontend-only FPS is still logged to stderr). This is the same coverage as
+the reference's 8.5 FPS full-system number (BASELINE.md, reference
+CHANGELOG.md:557, main.py:401-444). Reference call stacks: SURVEY.md
+§3.2/§3.3.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -81,11 +92,20 @@ def main():
     def _norm(d):
         return d / jnp.clip(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
 
+    from mast3r_slam_tpu.slam.tracker import (fuse_pointmap,
+                                              kf_selection_stats,
+                                              quality_job_tensors)
+
     @jax.jit
-    def track_step(params, img_f, feat_k, pos_k, T_WCk):
-        # One XLA program per frame: program switches cost ~20 ms each on a
-        # tunneled chip, and the matcher is formulated so XLA schedules it
-        # well inside a large program (see ops/matching.py docstring).
+    def track_step(params, img_f, feat_k, pos_k, T_WCk, X_k, C_k, N_k):
+        # One XLA program per frame with the SAME stage list as the
+        # production ``track_core`` (its post-matcher stages are the shared
+        # helpers imported above). The only deviation is the synthetic
+        # pointmap/descriptor substitution after the heads — required
+        # because random weights produce random correspondences, and TPU
+        # gather cost is dominated by index locality (docs/PERFORMANCE.md).
+        # Program switches cost ~20 ms each on a tunneled chip, so one
+        # program per frame matters.
         feat_f, pos_f = M.encode_image(params, cfg, img_f)
         d1, d2 = M.decode_pair(params, cfg, feat_f, pos_f, feat_k, pos_k)
         res_ff = M.downstream_head(params["head1"], cfg, d1, (H, W))
@@ -95,44 +115,92 @@ def main():
         Dff = _norm(D_scene + 0.05 * res_ff["desc"])
         Dkf = _norm(D_shift + 0.05 * res_kf["desc"])
         idx_f2k, valid = matching.match(Xff, Xkf, Dff, Dkf)
-        Xf = Xff.reshape(n_pix, 3)[idx_f2k[0]]
+        idx0 = idx_f2k[0]
+        vmatch = valid[0]
+        Xf = Xff.reshape(n_pix, 3)[idx0]
         Xk = Xkf.reshape(n_pix, 3)
-        Qk = res_kf["desc_conf"].reshape(n_pix, 1)
+        Cff = res_ff["conf"].reshape(n_pix, 1)
+        Ckf = res_kf["conf"].reshape(n_pix, 1)
+        Qk = jnp.sqrt(res_ff["desc_conf"].reshape(-1)[idx0]
+                      * res_kf["desc_conf"].reshape(-1))[:, None]
+        # production masks + solver parameters (config/base.yaml tracking.*)
+        Ck_avg = C_k / jnp.maximum(N_k, 1.0)
+        valid_opt = vmatch & (Cff[idx0] > 0.0) & (Ck_avg > 0.0) & (Qk > 1.5)
+        valid_kf = vmatch & (Qk > 1.5)
+        match_frac = jnp.mean(valid_opt.astype(jnp.float32))
         T_WCf, T_CkCf, ok = opt_pose_ray_dist_sim3(
-            Xf, Xk, T_WCk, T_WCk, Qk, valid[0].astype(jnp.float32),
-            # production solver parameters (config/base.yaml tracking.*)
+            Xf, Xk, T_WCk, T_WCk, Qk, valid_opt.astype(jnp.float32),
             0.003, 10.0, 1.345, 50, 1e-3, 1e-3,
         )
-        return T_WCf, idx_f2k, ok
+        # keyframe pointmap fusion + KF-selection stats + quality tensors —
+        # the production helpers themselves (tracker.py)
+        Xkk = lie.act(T_CkCf[None], Xkf.reshape(n_pix, 3))
+        X_k_new, C_k_new, N_k_new = fuse_pointmap(
+            "weighted_pointmap", "median", X_k, C_k, N_k, Xkk, Ckf)
+        match_frac_k, unique_frac_f = kf_selection_stats(
+            vmatch, idx0, valid_kf, n_pix)
+        r_pix, valid_submit, t_norm, theta = quality_job_tensors(
+            False, T_CkCf, Xf, Xk, valid_kf, None, None, jnp.eye(3),
+            (H, W), 1.0, 10.0)
+        return (T_WCf, idx_f2k, ok, X_k_new, C_k_new, N_k_new, match_frac,
+                match_frac_k, unique_frac_f, r_pix, valid_submit, Qk,
+                Ck_avg, t_norm, theta)
 
     log("encoding keyframe...")
     ek = jax.jit(lambda p, i: M.encode_image(p, cfg, i))
     feat_k, pos_k = ek(params, img_f)
     T_WCk = lie.identity()
+    X_kf = X_shift.reshape(n_pix, 3)
+    C_kf = jnp.ones((n_pix, 1), jnp.float32)
+    N_kf = jnp.asarray(1.0)
     jax.block_until_ready(feat_k)
+
+    def frame_step(r):
+        # vary an input per call — the tunnel dedupes identical dispatches
+        return track_step(params, img_f + 1e-6 * (r + 1), feat_k, pos_k,
+                          T_WCk, X_kf, C_kf, N_kf)
 
     log("compiling track_step (first call)...")
     t0 = time.perf_counter()
-    out = track_step(params, img_f, feat_k, pos_k, T_WCk)
+    out = frame_step(0)
     jax.block_until_ready(out)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
+    # per-frame quality-service batch (async thread in production, but the
+    # chip serializes it with tracking — it belongs in the e2e window)
+    from mast3r_slam_tpu.services.quality_core import compute_quality
+
+    ew_prev = jnp.zeros((H // 16, W // 16), jnp.float32)
+
+    def quality_step(out):
+        (_, _, _, _, _, _, _, _, _, r_pix, valid_submit, Qk, Ck_avg,
+         t_norm, theta) = out
+        return compute_quality(
+            valid_submit.reshape(-1), r_pix.reshape(-1), Ck_avg.reshape(-1),
+            Qk.reshape(-1), t_norm, theta, ew_prev, H, W, 16,
+            # production parameters (config/base.yaml quality.*)
+            0.8, 0.15, 0.1745, 0.0, 1.5, 1.0, 1.0, 0.02)
+
+    log("compiling quality step...")
+    qres = quality_step(out)
+    jax.block_until_ready(qres["priority"])
+
     # steady state
     n_warm, n_iter = 3, 20
-    for _ in range(n_warm):
-        out = track_step(params, img_f, feat_k, pos_k, T_WCk)
+    for r in range(n_warm):
+        out = frame_step(r)
     jax.block_until_ready(out)
 
     if "--trace" in sys.argv:
         jax.profiler.start_trace("/tmp/bench_trace")
-        for _ in range(3):
-            out = track_step(params, img_f, feat_k, pos_k, T_WCk)
+        for r in range(3):
+            out = frame_step(100 + r)
         jax.block_until_ready(out)
         jax.profiler.stop_trace()
         log("trace → /tmp/bench_trace")
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = track_step(params, img_f, feat_k, pos_k, T_WCk)
+    for r in range(n_iter):
+        out = frame_step(10 + r)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iter
     fps = 1.0 / dt
@@ -164,12 +232,13 @@ def _e2e_section(env):
     from mast3r_slam_tpu.slam import factor_graph as FG
     from mast3r_slam_tpu.models import mast3r as M
 
-    (params, cfg, img_f, feat_k, pos_k, T_WCk, track_step, X_scene, X_shift,
-     D_scene, D_shift, _norm, n_pix, H, W, out, ek, fps) = (
+    (params, cfg, img_f, feat_k, pos_k, T_WCk, frame_step, quality_step,
+     X_scene, X_shift, D_scene, D_shift, _norm, n_pix, H, W, out, ek,
+     fps) = (
         env["params"], env["cfg"], env["img_f"], env["feat_k"], env["pos_k"],
-        env["T_WCk"], env["track_step"], env["X_scene"], env["X_shift"],
-        env["D_scene"], env["D_shift"], env["_norm"], env["n_pix"], env["H"],
-        env["W"], env["out"], env["ek"], env["fps"])
+        env["T_WCk"], env["frame_step"], env["quality_step"], env["X_scene"],
+        env["X_shift"], env["D_scene"], env["D_shift"], env["_norm"],
+        env["n_pix"], env["H"], env["W"], env["out"], env["ek"], env["fps"])
 
     log("setting up production-scale backend state...")
     cap, E2 = 110, 128
@@ -192,10 +261,41 @@ def _e2e_section(env):
     free = jnp.asarray(np.arange(cap) > 0)
 
     # warm edge cache: premeas for the standing edges runs once (the factor
-    # graph caches it across solves); only the NEW edges premeas per event
+    # graph caches it across solves); only the NEW edges premeas per event.
+    # Stored in the Pallas kernel's split layout exactly like the production
+    # cache (factor_graph._split_layout) — the relayout is a real ~1.6 GB
+    # copy that must NOT be paid per solve.
+    from mast3r_slam_tpu.ops import ba_kernels
+
     meas = FG.precompute_meas_rays(X_kfs, Cavg, ii, jj, idx_e, valid_e, Q_e,
                                    0.0, 1.5)
+    if ba_kernels.supports_pallas() and n_pix % (8 * ba_kernels._TNL) == 0:
+        meas = ba_kernels.view_sublane_split(meas)
     jax.block_until_ready(meas)
+
+    # local-TSDF refine block batch a keyframe event schedules
+    # (tsdf_local.TSDFRefiner._refine_block device programs, production
+    # shapes: grid 64³, 16 build / 64 raycast samples, max_rois=3 blocks)
+    from mast3r_slam_tpu.services.tsdf_local import (build_block_tsdf,
+                                                     raycast_block)
+
+    Xw_tsdf = X_kfs[0]
+    conf_tsdf = Cavg[0, :, 0]
+    origin_tsdf = jnp.zeros(3)
+    grid_origin = jnp.asarray([-1.5, -1.5, 0.5], jnp.float32)
+    tsdf_mask = jnp.asarray(np.arange(n_pix) % 7 == 0)
+
+    def tsdf_event(r):
+        outs = []
+        for b in range(3):  # max_rois_per_kf
+            tsdf, weight = build_block_tsdf(
+                Xw_tsdf + 1e-6 * (r + b), conf_tsdf, origin_tsdf,
+                grid_origin, 0.05, 0.08, 64, 16)
+            new_w, refined = raycast_block(
+                tsdf, weight, Xw_tsdf, tsdf_mask, origin_tsdf, grid_origin,
+                0.05, 0.1, 0.01, 0.015, 64)
+            outs.append((new_w, refined))
+        return outs
 
     @jax.jit
     def backend_decode(params, feat_a, feat_b, idx_warm):
@@ -222,17 +322,20 @@ def _e2e_section(env):
         idx_new, valid_new = backend_decode(params, feat_k,
                                             feat_f2 + 1e-6 * (r + 1),
                                             idx_warm)
-        # premeas for the new edges (8-bucket, as FactorGraph appends)
-        idx8 = jnp.tile(idx_new[:1], (8, 1))
+        # premeas for the new edges (2-bucket, as FactorGraph pads the 1-2
+        # edges a keyframe event actually adds)
+        idx2 = jnp.tile(idx_new[:1], (2, 1))
         meas_new = FG.precompute_meas_rays(
-            X_kfs, Cavg, ii[:8], jj[:8], idx8,
-            jnp.tile(valid_new[:1], (8, 1, 1)), Q_e[:8], 0.0, 1.5)
+            X_kfs, Cavg, ii[:2], jj[:2], idx2,
+            jnp.tile(valid_new[:1], (2, 1, 1)), Q_e[:2], 0.0, 1.5)
         # production global BA solve over the standing graph
         T_in = jax.vmap(lie.retr)(T_kfs, jnp.full((cap, 7), 1e-4 * (r + 1)))
         T_out = FG.gauss_newton_rays(
             T_in, meas, ii, jj, mask_e, free,
             0.003, 10.0, 10, 1e-8)
-        return T_out, meas_new
+        # the TSDF refine blocks this keyframe event schedules
+        tsdf_out = tsdf_event(r)
+        return T_out, meas_new, tsdf_out
 
     feat_f2, _ = ek(params, img_f)
 
@@ -247,7 +350,7 @@ def _e2e_section(env):
     outb = backend_event(1, idx_track)
     jax.block_until_ready(outb)
     ev_ms = (time.perf_counter() - t0) * 1e3
-    log(f"backend event (decode+premeas+10-iter BA): {ev_ms:.1f} ms")
+    log(f"backend KF event (decode+premeas+10-iter BA+tsdf): {ev_ms:.1f} ms")
 
     # per-stage split (diagnosis log; the combined number above is what the
     # e2e window pays)
@@ -258,10 +361,13 @@ def _e2e_section(env):
     log(f"  stage decode+match: {(time.perf_counter() - t0) * 1e3:.1f} ms")
     t0 = time.perf_counter()
     meas_new = FG.precompute_meas_rays(
-        X_kfs, Cavg, ii[:8], jj[:8], jnp.tile(idx_new[:1], (8, 1)),
-        jnp.tile(valid_new[:1], (8, 1, 1)), Q_e[:8], 0.0, 1.5)
+        X_kfs, Cavg, ii[:2], jj[:2], jnp.tile(idx_new[:1], (2, 1)),
+        jnp.tile(valid_new[:1], (2, 1, 1)), Q_e[:2], 0.0, 1.5)
     jax.block_until_ready(meas_new)
     log(f"  stage premeas-new: {(time.perf_counter() - t0) * 1e3:.1f} ms")
+    t0 = time.perf_counter()
+    jax.block_until_ready(tsdf_event(99))
+    log(f"  stage tsdf-refine x3: {(time.perf_counter() - t0) * 1e3:.1f} ms")
     t0 = time.perf_counter()
     T_out = FG.gauss_newton_rays(
         jax.vmap(lie.retr)(T_kfs, jnp.full((cap, 7), 3e-4)), meas, ii, jj,
@@ -277,10 +383,11 @@ def _e2e_section(env):
     for w in range(3):
         t0 = time.perf_counter()
         for f in range(N_FRAMES):
-            out = track_step(params, img_f, feat_k, pos_k, T_WCk)
+            out = frame_step(1000 * w + f)
+            qres = quality_step(out)
             if f % KF_EVERY == KF_EVERY - 1:
                 outb = backend_event(w * N_FRAMES + f, out[1][0])
-        jax.block_until_ready((out, outb))
+        jax.block_until_ready((out, qres, outb))
         window_ms.append((time.perf_counter() - t0) / N_FRAMES * 1e3)
         log(f"  window {w}: {window_ms[-1]:.1f} ms/frame")
     dt_e2e = sorted(window_ms)[1] / 1e3

@@ -58,14 +58,14 @@ def build_model(args, cfg):
               "(geometry will be meaningless — fine for perf/smoke runs)")
         params = M.init_params(jax.random.PRNGKey(0), mcfg)
     params = jax.device_put(params)
-    mesh = None
-    if jax.device_count() > 1:
-        from mast3r_slam_tpu.parallel import sharding as S
+    from mast3r_slam_tpu.parallel.topology import plan_topology
 
-        mesh = S.make_mesh()
-        print(f"sharding backend pair decodes over {jax.device_count()} "
-              f"devices")
-    return MASt3RInference(params, mcfg, cfg.get("matching", {}), mesh=mesh)
+    topo = plan_topology()
+    if topo.backend_mesh is not None:
+        print(f"disjoint device topology: {topo.describe()}")
+    model = MASt3RInference(params, mcfg, cfg.get("matching", {}),
+                            mesh=topo.backend_mesh)
+    return model, topo
 
 
 def main(argv=None):
@@ -126,7 +126,7 @@ def main(argv=None):
             if p.exists():
                 p.unlink()
 
-    model = build_model(args, cfg)
+    model, topo = build_model(args, cfg)
     keyframes = KeyframeBuffer(h, w, capacity=110,
                                feat_dim=model.cfg.enc_embed_dim)
     states = States()
@@ -135,11 +135,15 @@ def main(argv=None):
         K = jnp.asarray(dataset.camera_intrinsics.K_frame)
         keyframes.set_intrinsics(K)
 
-    quality = (AsynchronousQualityService(cfg).start()
+    quality = (AsynchronousQualityService(
+                   cfg, device=topo.quality_device).start()
                if cfg.get("quality", {}).get("enabled", True) else None)
     tracker = FrameTracker(model, keyframes, cfg, quality_service=quality)
-    refiner = TSDFRefiner(keyframes, cfg, quality_service=quality).start()
-    graph = FactorGraph(model, keyframes, cfg, K=K, mesh=model.mesh)
+    refiner = TSDFRefiner(keyframes, cfg, quality_service=quality,
+                          device=topo.tsdf_local_device).start()
+    graph = FactorGraph(model, keyframes, cfg, K=K, mesh=topo.backend_mesh,
+                        home_device=topo.frontend_device
+                        if topo.backend_mesh is not None else None)
     head_params, nfeat = None, 256
     if args.retrieval_weights:
         from mast3r_slam_tpu.models.convert import (

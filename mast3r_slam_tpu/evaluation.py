@@ -158,10 +158,15 @@ def save_ply_with_quality(savedir, filename, keyframes, quality_service,
                 if q is None:
                     full = np.zeros(h * w, np.float32)
                 else:
+                    import cv2
+
                     g = np.asarray(q[k], np.float32)
-                    ry = int(np.ceil(h / g.shape[0]))
-                    rx = int(np.ceil(w / g.shape[1]))
-                    full = np.repeat(np.repeat(g, ry, 0), rx, 1)[:h, :w].reshape(-1)
+                    # bilinear for continuous fields, nearest for the
+                    # categorical class id (reference evaluate.py:128-147)
+                    interp = (cv2.INTER_NEAREST if k == "class_id"
+                              else cv2.INTER_LINEAR)
+                    full = cv2.resize(g, (w, h),
+                                      interpolation=interp).reshape(-1)
                 extras[k].append(full[keep])
     if not pts:
         return None

@@ -35,10 +35,15 @@ class MASt3RInference:
         self.cfg = cfg
         self.match_cfg = match_cfg or {}
         self.mesh = mesh
+        # Separate replicated copy for the backend sub-mesh: the frontend
+        # params stay uncommitted so per-frame programs keep running on the
+        # (disjoint) frontend device — committing the ONE copy to the mesh
+        # would drag every tracking program onto the backend chips.
+        self.params_mesh = None
         if mesh is not None:
             from mast3r_slam_tpu.parallel import sharding as S
 
-            self.params = S.replicate(params, mesh)
+            self.params_mesh = S.replicate(params, mesh)
 
     # -- encoding ----------------------------------------------------------
 
@@ -86,20 +91,37 @@ class MASt3RInference:
         Returns (X, C, D, Q) each with leading dim 4 over [ii, ji, jj, ij]
         and second dim B (matching the reference's output convention).
         """
+        params = self.params
+        B = feat_i.shape[0]
         if self.mesh is not None:
             import numpy as _np
 
             from mast3r_slam_tpu.parallel import sharding as S
 
             n_dev = int(_np.prod(self.mesh.devices.shape))
-            if feat_i.shape[0] % n_dev == 0:
-                feat_i = S.shard_leading(feat_i, self.mesh)
-                feat_j = S.shard_leading(feat_j, self.mesh)
-                pos_i = S.shard_leading(pos_i, self.mesh)
-                pos_j = S.shard_leading(pos_j, self.mesh)
-        return _decode_symmetric_batch_jit(
-            self.params, self.cfg, feat_i, pos_i, feat_j, pos_j, tuple(img_hw)
+            # Pad the pair batch up to the mesh size (repeat row 0) so the
+            # decode ALWAYS runs on the backend sub-mesh — a fallback to the
+            # frontend chip would stall tracking for ~200 ms per event.
+            Bp = S.pad_to_multiple(B, n_dev)
+            if Bp != B:
+                pad = [(0, Bp - B)] + [(0, 0)] * (feat_i.ndim - 1)
+                feat_i = jnp.pad(feat_i, pad, mode="edge")
+                feat_j = jnp.pad(feat_j, pad, mode="edge")
+                pos_i = jnp.pad(pos_i, [(0, Bp - B), (0, 0), (0, 0)],
+                                mode="edge")
+                pos_j = jnp.pad(pos_j, [(0, Bp - B), (0, 0), (0, 0)],
+                                mode="edge")
+            params = self.params_mesh
+            feat_i = S.shard_leading(feat_i, self.mesh)
+            feat_j = S.shard_leading(feat_j, self.mesh)
+            pos_i = S.shard_leading(pos_i, self.mesh)
+            pos_j = S.shard_leading(pos_j, self.mesh)
+        out = _decode_symmetric_batch_jit(
+            params, self.cfg, feat_i, pos_i, feat_j, pos_j, tuple(img_hw)
         )
+        if out[0].shape[1] != B:
+            out = tuple(a[:, :B] for a in out)
+        return out
 
     # -- matching entry points --------------------------------------------
 
@@ -132,14 +154,15 @@ class MASt3RInference:
         )
 
     def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, img_hw,
-                        init_i2j=None):
+                        init_i2j=None, init_j2i=None):
         """Symmetric matching for B keyframe pairs (backend edge creation).
 
         Returns ``(idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij)``
-        — reference mast3r_utils.py:142-180 semantics. ``init_i2j (B, N)``
-        optionally warm-starts the i→j matcher rows (e.g. the tracker's
-        converged correspondence for a consecutive edge); the j→i direction
-        always cold-starts from identity.
+        — reference mast3r_utils.py:142-180 semantics. ``init_i2j`` /
+        ``init_j2i (B, N)`` optionally warm-start the matcher rows per
+        direction (the tracker's converged correspondence for a consecutive
+        edge, or the pose-projected geometric init for loop-closure edges);
+        a missing direction cold-starts from identity.
         """
         X, C, D, Q = self.decode_symmetric_batch(feat_i, pos_i, feat_j, pos_j, img_hw)
         b = X.shape[1]
@@ -153,11 +176,13 @@ class MASt3RInference:
         D11 = jnp.concatenate([Dii, Djj], axis=0)
         D21 = jnp.concatenate([Dji, Dij], axis=0)
         init = None
-        if init_i2j is not None:
+        if init_i2j is not None or init_j2i is not None:
             n = Xii.shape[1] * Xii.shape[2]
             ident = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None],
                                      (b, n))
-            init = jnp.concatenate([init_i2j.astype(jnp.int32), ident], axis=0)
+            i2j = ident if init_i2j is None else init_i2j.astype(jnp.int32)
+            j2i = ident if init_j2i is None else init_j2i.astype(jnp.int32)
+            init = jnp.concatenate([i2j, j2i], axis=0)
         idx_1_to_2, valid_match_2 = matching.match(
             X11, X21, D11, D21, idx_1_to_2_init=init, **self._match_kw()
         )

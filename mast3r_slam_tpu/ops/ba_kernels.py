@@ -169,8 +169,10 @@ def _run_gram(kernel, rts, meas, n_rows, interpret):
     if meas[0].ndim == 2:
         meas = view_sublane_split(meas)
     E, _, M = meas[0].shape
-    assert M % _TNL == 0, (M, _TNL)
-    n_tiles = M // _TNL
+    # Production pixel counts divide the 2048-lane tile; small test shapes
+    # (and interpret-mode CPU runs) fall back to one whole-row tile.
+    tnl = _TNL if M % _TNL == 0 else M
+    n_tiles = M // tnl
     meas_v = meas
     grid = (E, n_tiles)
     return pl.pallas_call(
@@ -184,7 +186,7 @@ def _run_gram(kernel, rts, meas, n_rows, interpret):
                 pl.BlockSpec(rts.shape, lambda e, n: (0, 0),
                              memory_space=pltpu.SMEM),
             ] + [
-                pl.BlockSpec((1, 8, _TNL), lambda e, n: (e, 0, n),
+                pl.BlockSpec((1, 8, tnl), lambda e, n: (e, 0, n),
                              memory_space=pltpu.VMEM)
                 for _ in meas_v
             ],

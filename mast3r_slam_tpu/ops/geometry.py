@@ -150,6 +150,56 @@ def compose_jac_channels(d_res, d_pt, negate=False):
     return out
 
 
+def estimate_focal(X, img_size, min_ratio=0.05):
+    """Median-based pinhole focal estimate from a canonical pointmap.
+
+    MASt3R pointmaps are in the camera frame with the principal point at the
+    image center; the focal that best explains pixel u for point (x, y, z) is
+    ``(u - cx) / (x / z)``. The median over pixels with a significant ray
+    slope is a robust single-scalar estimate, used only to warm-start the
+    backend matcher by projection (ops/matching.py inits — approximation
+    errors cost LM iterations, never correctness). ``X (..., H*W, 3)``.
+    """
+    H, W = img_size
+    uv = get_pixel_coords(img_size, dtype=X.dtype)
+    z = jnp.maximum(X[..., 2], 1e-8)
+    rx = X[..., 0] / z
+    ry = X[..., 1] / z
+    du = uv[..., 0] - (W - 1) / 2.0
+    dv = uv[..., 1] - (H - 1) / 2.0
+    # combine both axes into one sample set; gate shallow slopes
+    r = jnp.concatenate([rx, ry], axis=-1)
+    d = jnp.concatenate([du, dv], axis=-1)
+    ok = jnp.abs(r) > min_ratio
+    f = jnp.where(ok, d / jnp.where(ok, r, 1.0), jnp.nan)
+    return jnp.nanmedian(f, axis=-1)
+
+
+def project_to_index(X_src, T_src, T_dst, focal, img_size):
+    """Project source-frame points into the destination keyframe's pixel
+    GRID INDEX — the geometric warm start for the backend matcher.
+
+    ``X_src (..., N, 3)`` points in src camera frame; ``T_src/T_dst (..., 8)``
+    Sim3 world-from-camera poses; ``focal``: dst pinhole focal (scalar per
+    batch element; from :func:`estimate_focal` or a calibrated K). Returns
+    int32 flat indices ``(..., N)`` clipped to the image. Matches the init
+    semantics of the reference matching_kernels.cu:119-275 (any init is
+    legal; good inits converge in fewer LM iterations).
+    """
+    from mast3r_slam_tpu.ops import lie
+
+    H, W = img_size
+    T_rel = lie.compose(lie.inv(T_dst), T_src)
+    P = lie.act(T_rel[..., None, :] if T_rel.ndim == X_src.ndim - 1
+                else T_rel, X_src)
+    z = jnp.maximum(P[..., 2], 1e-8)
+    u = focal[..., None] * (P[..., 0] / z) + (W - 1) / 2.0
+    v = focal[..., None] * (P[..., 1] / z) + (H - 1) / 2.0
+    ui = jnp.clip(jnp.round(u), 0, W - 1).astype(jnp.int32)
+    vi = jnp.clip(jnp.round(v), 0, H - 1).astype(jnp.int32)
+    return vi * W + ui
+
+
 def constrain_points_to_ray(img_size, Xs, K):
     """Snap pointmap entries onto the camera rays through their own pixels.
 

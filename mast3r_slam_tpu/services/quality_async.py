@@ -18,6 +18,7 @@ import threading
 import time
 from collections import deque
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,7 +28,11 @@ _QUIT = "__quit__"
 
 
 class AsynchronousQualityService:
-    def __init__(self, cfg: dict):
+    def __init__(self, cfg: dict, device=None):
+        # ``device``: pin the jitted quality kernel to a dedicated service
+        # chip (parallel/topology.py) so it never contends with tracking;
+        # None = default device (single-chip sessions).
+        self.device = device
         q = cfg.get("quality", {})
         self.ps = int(q.get("patch_size", 16))
         self.batch_size = int(q.get("batch_size", 4))
@@ -171,14 +176,19 @@ class AsynchronousQualityService:
         if prev is None:
             prev = np.zeros((gh, gw), np.float32)
 
+        def dev(x, dtype=None):
+            x = jnp.asarray(x, dtype)
+            return x if self.device is None else jax.device_put(x,
+                                                                self.device)
+
         res = quality_core.compute_quality(
-            jnp.asarray(job["valid_kf"].reshape(-1)),
-            jnp.asarray(job["r_pix"], jnp.float32),
-            jnp.asarray(job["Ck"], jnp.float32),
-            jnp.asarray(job["Qk"], jnp.float32),
-            jnp.asarray(job["t_norm"], jnp.float32),
-            jnp.asarray(job["theta"], jnp.float32),
-            jnp.asarray(prev),
+            dev(job["valid_kf"].reshape(-1)),
+            dev(job["r_pix"], jnp.float32),
+            dev(job["Ck"], jnp.float32),
+            dev(job["Qk"], jnp.float32),
+            dev(job["t_norm"], jnp.float32),
+            dev(job["theta"], jnp.float32),
+            dev(prev),
             H, W, self.ps, self.alpha, self.b0, self.theta0,
             self.C_thr, self.Q_thr, self.thr_zr, self.thr_zu, self.thr_dc,
         )

@@ -30,17 +30,15 @@ def masked_median(x, mask):
     """Median over the last axis counting only ``mask`` entries (0 if none).
 
     Sort-based: invalid entries are pushed to +inf, then the median of the k
-    valid entries is the average of elements (k-1)//2 and k//2.
+    valid entries is element ``(k-1)//2`` — the LOWER middle element for even
+    k, matching ``torch.nanmedian`` (reference quality_core.py:21-26), not
+    the two-element average ``numpy.median`` would take.
     """
     big = jnp.asarray(jnp.inf, x.dtype)
     xs = jnp.sort(jnp.where(mask, x, big), axis=-1)
     k = jnp.sum(mask, axis=-1)
     lo = jnp.clip((k - 1) // 2, 0)
-    hi = jnp.clip(k // 2, 0)
-    med = 0.5 * (
-        jnp.take_along_axis(xs, lo[..., None], -1)[..., 0]
-        + jnp.take_along_axis(xs, hi[..., None], -1)[..., 0]
-    )
+    med = jnp.take_along_axis(xs, lo[..., None], -1)[..., 0]
     return jnp.where(k > 0, med, 0.0)
 
 
@@ -49,7 +47,8 @@ def reduce_grid(x, ps, valid=None, method="median"):
     X, gh, gw = _to_grid(x, ps)
     if valid is None:
         if method == "median":
-            return jnp.median(X, axis=-1)
+            # torch.median lower-middle convention (see masked_median)
+            return jnp.sort(X, axis=-1)[..., (X.shape[-1] - 1) // 2]
         return jnp.mean(X, axis=-1)
     M, _, _ = _to_grid(valid.astype(jnp.float32), ps)
     mask = M >= 0.5

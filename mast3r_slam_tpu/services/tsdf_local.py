@@ -234,10 +234,14 @@ class TSDFRefiner:
     ``start``, ``maybe_schedule_sliding_window``, ``schedule_final_pass``,
     ``stop_flag``/``is_alive``, ``stats``."""
 
-    def __init__(self, keyframes, cfg, quality_service=None):
+    def __init__(self, keyframes, cfg, quality_service=None, device=None):
         c = cfg.get("tsdf_refine", {})
         self.keyframes = keyframes
         self.quality = quality_service
+        # ``device``: pin the build/raycast kernels to a dedicated service
+        # chip (parallel/topology.py); the guarded write-back still runs on
+        # the keyframe buffers' own device. None = default device.
+        self.device = device
         self.enabled = bool(c.get("enabled", True))
         self.window_size = int(c.get("window_size", 5))
         self.voxel_size = float(c.get("voxel_size", 0.02))
@@ -447,10 +451,15 @@ class TSDFRefiner:
             C = np.asarray(kf.C[blk.kf_id][:, 0])
             n_fuse = max(int(kf.N[blk.kf_id]), 1)
             T_WC = jnp.asarray(kf.T_WC[blk.kf_id])
+        if self.device is not None:
+            X = jax.device_put(X, self.device)
+            T_WC = jax.device_put(T_WC, self.device)
 
         Xw = lie.act(T_WC[None], X)                     # world frame
         origin = lie.translation(T_WC)
         conf = jnp.asarray(np.clip(C / n_fuse, 0.0, None))
+        if self.device is not None:
+            conf = jax.device_put(conf, self.device)
 
         mask = blk.pixel_mask
         sel = np.where(mask)[0]

@@ -308,7 +308,26 @@ def _scatter_blocks(H, g, He, ge, ii, jj, free_mask, cap):
 # transient starts spilling; see docs/PERFORMANCE.md).
 import os as _os
 
-_EDGE_CHUNK = int(_os.environ.get("MAST3R_TPU_BA_CHUNK", "8"))
+
+def _validated_chunk(raw: str, default: int = 8) -> int:
+    """Edge buckets are powers of two; a chunk that is not itself a power of
+    two (e.g. 12) makes ``E // chunk`` truncate and the scan reshape raise at
+    trace time with an opaque error — reject such overrides up front."""
+    try:
+        v = int(raw)
+    except ValueError:
+        v = -1
+    if v < 1 or (v & (v - 1)) != 0:
+        import warnings
+
+        warnings.warn(
+            f"MAST3R_TPU_BA_CHUNK={raw!r} is not a positive power of two; "
+            f"falling back to {default}")
+        return default
+    return v
+
+
+_EDGE_CHUNK = _validated_chunk(_os.environ.get("MAST3R_TPU_BA_CHUNK", "8"))
 _PRE_CHUNK = 8
 
 
@@ -364,7 +383,7 @@ def precompute_meas_calib(X, Cavg, ii, jj, idx, valid, Q, W_img,
 
 
 def _accumulate_system(terms_fn, ii, jj, meas, edge_mask, free_mask,
-                       cap, dtype):
+                       cap, dtype, compute_dtype=jnp.bfloat16):
     """Chunked scan over edges accumulating the dense normal equations.
 
     ``meas``: flat ``(E, N)`` pose-invariant channel stacks — the loop body
@@ -381,7 +400,8 @@ def _accumulate_system(terms_fn, ii, jj, meas, edge_mask, free_mask,
         # whitened-Huber IRLS weights (+ padded-edge mask, binary)
         c = [sw[i] * sw[i] * huber(sw[i] * rho[i]) * mask_c[:, None]
              for i in range(len(rho))]
-        He, ge = _edge_system_fused(rho, d_res, Xp, c, adj_inv)
+        He, ge = _edge_system_fused(rho, d_res, Xp, c, adj_inv,
+                                    compute_dtype=compute_dtype)
         H, g = _scatter_blocks(H, g, He, ge, ii_c, jj_c, free_mask, cap)
         return (H, g), None
 
@@ -397,9 +417,10 @@ def _accumulate_system(terms_fn, ii, jj, meas, edge_mask, free_mask,
 
 def _use_pallas(meas):
     """The Pallas Gram kernel needs a TPU and a tile-divisible pixel count;
-    everything else (CPU tests, odd sizes, sharded-mesh runs) takes the XLA
-    chunked-scan path. Channels may arrive flat ``(E, N)`` or already in the
-    kernel's split ``(E, 8, N/8)`` layout."""
+    everything else (CPU tests, odd sizes) takes the XLA chunked-scan path.
+    Mesh-sharded solves DO run the kernel (inside ``shard_map`` — see
+    :func:`_shard_edge_system`). Channels may arrive flat ``(E, N)`` or
+    already in the kernel's split ``(E, 8, N/8)`` layout."""
     if not ba_kernels.supports_pallas():
         return False
     ch = meas[0]
@@ -432,9 +453,11 @@ def _rel_pose_rows(T, ii, jj, edge_mask, extra=()):
 
 
 def _accumulate_pallas_rays(T, meas, ii, jj, edge_mask, free_mask, cap,
-                            sigma_ray, sigma_dist):
+                            sigma_ray, sigma_dist,
+                            compute_dtype=jnp.bfloat16, interpret=False):
     Ti, rts = _rel_pose_rows(T, ii, jj, edge_mask)
-    G = ba_kernels.gram_rays(rts, meas, sigma_ray, sigma_dist)
+    G = ba_kernels.gram_rays(rts, meas, sigma_ray, sigma_dist,
+                             compute_dtype=compute_dtype, interpret=interpret)
     He, ge = _edge_blocks_from_gram(G, 4, Ti)
     H0 = jnp.zeros((cap + 1, 7, cap + 1, 7), T.dtype)
     g0 = jnp.zeros((cap + 1, 7), T.dtype)
@@ -443,15 +466,50 @@ def _accumulate_pallas_rays(T, meas, ii, jj, edge_mask, free_mask, cap,
 
 def _accumulate_pallas_calib(T, meas, K, ii, jj, edge_mask, free_mask, cap,
                              img_size, pixel_border, z_eps,
-                             sigma_pixel, sigma_depth):
+                             sigma_pixel, sigma_depth,
+                             compute_dtype=jnp.bfloat16, interpret=False):
     fx, fy, cx, cy = geometry.decompose_K(K)
     Ti, rts = _rel_pose_rows(T, ii, jj, edge_mask, extra=(fx, fy, cx, cy))
     G = ba_kernels.gram_calib(rts, meas, img_size, pixel_border, z_eps,
-                              sigma_pixel, sigma_depth)
+                              sigma_pixel, sigma_depth,
+                              compute_dtype=compute_dtype, interpret=interpret)
     He, ge = _edge_blocks_from_gram(G, 3, Ti)
     H0 = jnp.zeros((cap + 1, 7, cap + 1, 7), T.dtype)
     g0 = jnp.zeros((cap + 1, 7), T.dtype)
     return _scatter_blocks(H0, g0, He, ge, ii, jj, free_mask, cap)
+
+
+def _shard_edge_system(mesh, accum, T, free_mask, ii, jj, edge_mask, meas,
+                       extra_arrays=()):
+    """Run a per-edge Pallas accumulate on each device's local slice of the
+    (edge-sharded) two-way buffers and ``psum`` the dense normal equations
+    over the mesh's edge axis.
+
+    ``pallas_call`` cannot be auto-partitioned by GSPMD, so under a mesh the
+    kernel runs inside ``shard_map``: every device builds the full-size dense
+    system from ITS edges only (the scatter targets are global keyframe slots,
+    so local scatters are disjoint contributions), and one psum over the edge
+    axis reproduces the single-chip system bit-for-bit up to f32 summation
+    order. ``accum(T, meas, ii, jj, mask, free, *extras)`` is one of the
+    ``_accumulate_pallas_*`` closures. ``extra_arrays`` (e.g. K) replicate.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_extra = len(extra_arrays)
+
+    def local(T_r, free_r, ii_l, jj_l, mask_l, *rest):
+        extras = rest[:n_extra]
+        meas_l = rest[n_extra:]
+        H, g = accum(T_r, tuple(meas_l), ii_l, jj_l, mask_l, free_r, *extras)
+        return lax.psum(H, axis), lax.psum(g, axis)
+
+    in_specs = ((P(), P(), P(axis), P(axis), P(axis))
+                + tuple(P() for _ in extra_arrays)
+                + tuple(P(axis) for _ in meas))
+    return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=(P(), P()), check_vma=False)(
+        T, free_mask, ii, jj, edge_mask, *extra_arrays, *meas)
 
 
 def _solve_system(H, g, free_mask, cap, damping):
@@ -476,21 +534,28 @@ def _solve_system(H, g, free_mask, cap, damping):
 
 @partial(jax.jit,
          static_argnames=("sigma_ray", "sigma_dist", "max_iter",
-                          "allow_pallas"),
+                          "allow_pallas", "compute_dtype", "mesh",
+                          "pallas_interpret"),
          donate_argnums=(0,))
 def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
                       sigma_ray, sigma_dist,
                       max_iter, delta_thresh, damping=1e-4,
-                      allow_pallas=True):
+                      allow_pallas=True, compute_dtype="bfloat16",
+                      mesh=None, pallas_interpret=False):
     """Global ray-alignment BA over padded two-way edges. Updates T_WC (cap, 8).
 
     ``meas``: pose-invariant channel stacks from :func:`precompute_meas_rays`
     (or the :class:`FactorGraph` cross-solve cache). ``ii, jj (E,)`` already
     two-way-duplicated; ``edge_mask (E,)`` masks padding; ``free_mask (cap,)``
-    marks poses that may move.
+    marks poses that may move. ``mesh``: run the Pallas edge-system kernel
+    inside ``shard_map`` over the mesh's edge axis (requires ``E`` divisible
+    by the mesh size). ``pallas_interpret``: force the kernel in interpret
+    mode (CPU-mesh tests).
     """
     cap = T_WC.shape[0]
-    pallas = allow_pallas and _use_pallas(meas)
+    cdt = jnp.dtype(compute_dtype)
+    interp = bool(pallas_interpret)
+    pallas = allow_pallas and (interp or _use_pallas(meas))
     if pallas and meas[0].ndim == 2:
         # the kernel's sublane-split relayout is a real copy — do it ONCE
         # per solve, not inside the GN loop (measured 32 ms/solve in-loop);
@@ -502,17 +567,27 @@ def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
     def body(state):
         T, it, _ = state
 
-        if pallas:
+        if pallas and mesh is not None:
+            def accum(T_r, meas_l, ii_l, jj_l, mask_l, free_r):
+                return _accumulate_pallas_rays(
+                    T_r, meas_l, ii_l, jj_l, mask_l, free_r, cap,
+                    sigma_ray, sigma_dist, compute_dtype=cdt,
+                    interpret=interp)
+
+            H, g = _shard_edge_system(mesh, accum, T, free_mask, ii, jj,
+                                      edge_mask, meas)
+        elif pallas:
             H, g = _accumulate_pallas_rays(
                 T, meas, ii, jj, edge_mask, free_mask, cap,
-                sigma_ray, sigma_dist)
+                sigma_ray, sigma_dist, compute_dtype=cdt, interpret=interp)
         else:
             def terms(ii_c, jj_c, meas_c):
                 return _edge_terms_rays(T, ii_c, jj_c, meas_c,
                                         sigma_ray, sigma_dist)
 
             H, g = _accumulate_system(terms, ii, jj, meas,
-                                      edge_mask, free_mask, cap, T.dtype)
+                                      edge_mask, free_mask, cap, T.dtype,
+                                      compute_dtype=cdt)
         dx = _solve_system(H, g, free_mask, cap, damping)
         T_new = jax.vmap(lie.retr)(T, dx)
         delta = jnp.linalg.norm(dx)
@@ -531,15 +606,19 @@ def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
 @partial(jax.jit,
          static_argnames=("img_size", "pixel_border", "z_eps",
                           "sigma_pixel", "sigma_depth", "max_iter",
-                          "allow_pallas"),
+                          "allow_pallas", "compute_dtype", "mesh",
+                          "pallas_interpret"),
          donate_argnums=(0,))
 def gauss_newton_calib(T_WC, meas, K, ii, jj, edge_mask, free_mask, img_size,
                        pixel_border, z_eps, sigma_pixel, sigma_depth,
                        max_iter, delta_thresh, damping=1e-4,
-                       allow_pallas=True):
+                       allow_pallas=True, compute_dtype="bfloat16",
+                       mesh=None, pallas_interpret=False):
     """Global calibrated BA (pixel + log-depth residuals)."""
     cap = T_WC.shape[0]
-    pallas = allow_pallas and _use_pallas(meas)
+    cdt = jnp.dtype(compute_dtype)
+    interp = bool(pallas_interpret)
+    pallas = allow_pallas and (interp or _use_pallas(meas))
     if pallas and meas[0].ndim == 2:
         meas = ba_kernels.view_sublane_split(meas)
     elif not pallas and meas[0].ndim == 3:
@@ -548,10 +627,20 @@ def gauss_newton_calib(T_WC, meas, K, ii, jj, edge_mask, free_mask, img_size,
     def body(state):
         T, it, _ = state
 
-        if pallas:
+        if pallas and mesh is not None:
+            def accum(T_r, meas_l, ii_l, jj_l, mask_l, free_r, K_r):
+                return _accumulate_pallas_calib(
+                    T_r, meas_l, K_r, ii_l, jj_l, mask_l, free_r, cap,
+                    img_size, pixel_border, z_eps, sigma_pixel, sigma_depth,
+                    compute_dtype=cdt, interpret=interp)
+
+            H, g = _shard_edge_system(mesh, accum, T, free_mask, ii, jj,
+                                      edge_mask, meas, extra_arrays=(K,))
+        elif pallas:
             H, g = _accumulate_pallas_calib(
                 T, meas, K, ii, jj, edge_mask, free_mask, cap, img_size,
-                pixel_border, z_eps, sigma_pixel, sigma_depth)
+                pixel_border, z_eps, sigma_pixel, sigma_depth,
+                compute_dtype=cdt, interpret=interp)
         else:
             def terms(ii_c, jj_c, meas_c):
                 return _edge_terms_calib(T, ii_c, jj_c, meas_c, K, img_size,
@@ -559,7 +648,8 @@ def gauss_newton_calib(T_WC, meas, K, ii, jj, edge_mask, free_mask, img_size,
                                          sigma_depth)
 
             H, g = _accumulate_system(terms, ii, jj, meas,
-                                      edge_mask, free_mask, cap, T.dtype)
+                                      edge_mask, free_mask, cap, T.dtype,
+                                      compute_dtype=cdt)
         dx = _solve_system(H, g, free_mask, cap, damping)
         T_new = jax.vmap(lie.retr)(T, dx)
         delta = jnp.linalg.norm(dx)
@@ -579,6 +669,21 @@ def gauss_newton_calib(T_WC, meas, K, ii, jj, edge_mask, free_mask, img_size,
 # Host-side factor graph
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("img_hw",))
+def _geo_match_init(X_i, X_j, T_i, T_j, img_hw):
+    """Pose-projected matcher inits for both directions of B edges.
+
+    For each pixel of keyframe i, the init index in j is the projection of
+    its canonical point through ``T_j^{-1} T_i`` and j's estimated pinhole
+    focal (and vice versa). ``X (B, N, 3)``, ``T (B, 8)``.
+    """
+    f_i = geometry.estimate_focal(X_i, img_hw)
+    f_j = geometry.estimate_focal(X_j, img_hw)
+    init_i2j = geometry.project_to_index(X_i, T_i, T_j, f_j, img_hw)
+    init_j2i = geometry.project_to_index(X_j, T_j, T_i, f_i, img_hw)
+    return init_i2j, init_j2i
+
+
 def _bucket(n, minimum=8):
     b = minimum
     while b < n:
@@ -596,7 +701,8 @@ class FactorGraph:
     repeat solves skip ~400 ms of gather at production scale.
     """
 
-    def __init__(self, model, keyframes, cfg, K=None, mesh=None):
+    def __init__(self, model, keyframes, cfg, K=None, mesh=None,
+                 home_device=None):
         self.model = model
         self.keyframes = keyframes
         self.cfg = cfg["local_opt"]
@@ -604,7 +710,11 @@ class FactorGraph:
         # Optional device mesh: the two-way padded edge buffers are sharded
         # over its edge axis at solve time (power-of-two buckets are always
         # divisible by the mesh size for meshes up to the minimum bucket).
+        # ``home_device``: where solved poses are committed back to (the
+        # frontend device in a disjoint topology — see parallel/topology.py);
+        # None keeps them wherever the solve left them.
         self.mesh = mesh
+        self.home_device = home_device
         n_pix = keyframes.h * keyframes.w
         self.n_pix = n_pix
         # Host-side dynamic edge lists; device arrays built at solve time.
@@ -621,9 +731,10 @@ class FactorGraph:
         # (gather-side, row-side) keyframe versions it was computed at.
         # Stored directly in the Pallas kernel's (E, 8, N/8) layout when the
         # kernel will run — the relayout is a real copy, paid once per edge
-        # at premeas time instead of per solve.
-        self._split_layout = (mesh is None
-                              and ba_kernels.supports_pallas()
+        # at premeas time instead of per solve. Mesh-sharded solves keep the
+        # split layout too: the shard axis is the leading edge dim, which the
+        # relayout never touches.
+        self._split_layout = (ba_kernels.supports_pallas()
                               and n_pix % (8 * ba_kernels._TNL) == 0)
         self._meas_kind: str | None = None
         self._meas_ij: tuple | None = None        # dir i->j (gather side ii)
@@ -652,23 +763,41 @@ class FactorGraph:
             feat_j = kf.feat[np.asarray(jj_new)]
             pos_i = kf.pos[np.asarray(ii_new)]
             pos_j = kf.pos[np.asarray(jj_new)]
+            X_i = kf.X[np.asarray(ii_new)]
+            X_j = kf.X[np.asarray(jj_new)]
+            T_i = kf.T_WC[np.asarray(ii_new)]
+            T_j = kf.T_WC[np.asarray(jj_new)]
         img_hw = kf.img_shapes[int(ii_new[0])][1]
 
-        init_i2j = None
+        # Geometric warm start for every edge in BOTH directions: project
+        # each keyframe's pointmap into the other through the current pose
+        # estimates (by solve time the poses ARE known for loop-closure /
+        # retrieval edges — reference matching_kernels.cu:119-275 init
+        # semantics). Approximation errors only cost LM iterations. Skipped
+        # in reloc mode, where the candidate poses are exactly what is in
+        # question and identity is the safer init.
+        init_i2j = init_j2i = None
+        if not is_reloc and bool(self.cfg.get("warm_start_geo", True)):
+            init_i2j, init_j2i = _geo_match_init(X_i, X_j, T_i, T_j, img_hw)
+
         if init_hint is not None:
             hi, hj, hidx = init_hint
             rows = [r for r in range(len(ii_new))
                     if int(ii_new[r]) == int(hi) and int(jj_new[r]) == int(hj)]
             if rows:
                 n = self.n_pix
-                init_np = np.broadcast_to(np.arange(n, dtype=np.int32)[None],
-                                          (len(ii_new), n)).copy()
-                init_np[rows[0]] = np.asarray(hidx).reshape(-1)[:n]
-                init_i2j = jnp.asarray(init_np)
+                if init_i2j is None:
+                    init_i2j = jnp.broadcast_to(
+                        jnp.arange(n, dtype=jnp.int32)[None],
+                        (len(ii_new), n))
+                # the tracker's CONVERGED correspondence beats the geometric
+                # projection for its (consecutive) edge
+                init_i2j = init_i2j.at[rows[0]].set(
+                    jnp.asarray(hidx).reshape(-1)[:n].astype(jnp.int32))
 
         (idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij) = (
             self.model.match_symmetric(feat_i, pos_i, feat_j, pos_j, img_hw,
-                                       init_i2j=init_i2j)
+                                       init_i2j=init_i2j, init_j2i=init_j2i)
         )
 
         b_idx = jnp.arange(idx_i2j.shape[0])[:, None]
@@ -717,7 +846,11 @@ class FactorGraph:
         """Compute measured channels for one-way edge ``rows`` in the given
         direction, padded to a power-of-two bucket (one compile per size)."""
         rows = np.asarray(rows, np.int64)
-        B = _bucket(len(rows))
+        # minimum bucket 2 (not 8): the steady-state call premeases the 1-2
+        # edges a keyframe event just added — padding those to 8 made every
+        # event pay 4x the necessary gather (~60 ms vs ~15 at production
+        # scale). Solve-side buckets stay at minimum 8 for mesh divisibility.
+        B = _bucket(len(rows), minimum=2)
         pad_rows = np.concatenate(
             [rows, np.zeros(B - len(rows), np.int64)])
         rj = jnp.asarray(pad_rows)
@@ -766,6 +899,15 @@ class FactorGraph:
             # global_opt.py:145-150)
             X = geometry.constrain_points_to_ray(
                 (kf.h, kf.w), X.reshape(-1, self.n_pix, 3), self.K)
+        if self.mesh is not None:
+            # Disjoint topology: the keyframe buffers live on the frontend
+            # device; replicate the premeas inputs onto the backend sub-mesh
+            # so the gather programs run there (mixing commitments would
+            # error, and running on the frontend chip would stall tracking).
+            from mast3r_slam_tpu.parallel import sharding as S
+
+            X = S.replicate(X, self.mesh)
+            Cavg = S.replicate(Cavg, self.mesh)
 
         if self._meas_kind != kind or self._meas_ij is None:
             rows = np.arange(E)
@@ -840,6 +982,7 @@ class FactorGraph:
             )
             mask = np.concatenate([mask, np.zeros(pad, np.float32)])
         out = (jnp.asarray(ii2), jnp.asarray(jj2), jnp.asarray(mask), meas)
+        solve_mesh = None
         if self.mesh is not None:
             from mast3r_slam_tpu.parallel import sharding as S
 
@@ -851,7 +994,32 @@ class FactorGraph:
                     S.shard_leading(out[2], self.mesh),
                     tuple(S.shard_leading(ch, self.mesh) for ch in meas),
                 )
-        return out
+                solve_mesh = self.mesh
+        return out + (solve_mesh,)
+
+    def _place_T(self, T, solve_mesh):
+        """Replicate the pose table onto the backend mesh for the solve (it
+        may arrive committed to the frontend device, and jit rejects inputs
+        committed to different devices)."""
+        if solve_mesh is None:
+            return T  # donated and immediately replaced by the caller
+        from mast3r_slam_tpu.parallel import sharding as S
+
+        return S.replicate(T, solve_mesh)
+
+    def _place_K(self, solve_mesh):
+        if solve_mesh is None or self.K is None:
+            return self.K
+        from mast3r_slam_tpu.parallel import sharding as S
+
+        return S.replicate(self.K, solve_mesh)
+
+    def _home(self, T_new):
+        """Commit solved poses back to the frontend device so downstream
+        tracking programs stay on their own chip."""
+        if self.home_device is None:
+            return T_new
+        return jax.device_put(T_new, self.home_device)
 
     def _free_mask(self, unique_kf_idx):
         pin = int(self.cfg["pin"])
@@ -869,15 +1037,17 @@ class FactorGraph:
         kf = self.keyframes
         with kf.lock:
             self._ensure_meas("rays")
-            ii2, jj2, mask, meas = self._two_way_padded()
+            ii2, jj2, mask, meas, solve_mesh = self._two_way_padded()
             T_new = gauss_newton_rays(
-                kf.T_WC, meas, ii2, jj2, mask,
+                self._place_T(kf.T_WC, solve_mesh), meas, ii2, jj2, mask,
                 self._free_mask(unique),
                 float(self.cfg["sigma_ray"]), float(self.cfg["sigma_dist"]),
                 int(self.cfg["max_iters"]), float(self.cfg["delta_norm"]),
-                allow_pallas=self.mesh is None,
+                compute_dtype=str(self.cfg.get("ba_compute_dtype",
+                                               "bfloat16")),
+                mesh=solve_mesh,
             )
-            kf.T_WC = T_new
+            kf.T_WC = self._home(T_new)
             for i in unique[int(self.cfg["pin"]):]:
                 kf.version[int(i)] += 1
 
@@ -891,15 +1061,18 @@ class FactorGraph:
         img_size = (kf.h, kf.w)
         with kf.lock:
             self._ensure_meas("calib")
-            ii2, jj2, mask, meas = self._two_way_padded()
+            ii2, jj2, mask, meas, solve_mesh = self._two_way_padded()
             T_new = gauss_newton_calib(
-                kf.T_WC, meas, self.K, ii2, jj2, mask,
+                self._place_T(kf.T_WC, solve_mesh),
+                meas, self._place_K(solve_mesh), ii2, jj2, mask,
                 self._free_mask(unique), img_size,
                 float(self.cfg["pixel_border"]), float(self.cfg["depth_eps"]),
                 float(self.cfg["sigma_pixel"]), float(self.cfg["sigma_depth"]),
                 int(self.cfg["max_iters"]), float(self.cfg["delta_norm"]),
-                allow_pallas=self.mesh is None,
+                compute_dtype=str(self.cfg.get("ba_compute_dtype",
+                                               "bfloat16")),
+                mesh=solve_mesh,
             )
-            kf.T_WC = T_new
+            kf.T_WC = self._home(T_new)
             for i in unique[int(self.cfg["pin"]):]:
                 kf.version[int(i)] += 1

@@ -313,11 +313,40 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
         )
 
     # -- keyframe pointmap fusion (frame obs mapped into keyframe frame) -------
-    # All six reference policies (frame.py:41-105), expressed jit-compatibly.
     Xkk = lie.act(T_CkCf[None], Xkf[0])
+    X_k_new, C_k_new, N_k_new = fuse_pointmap(
+        filtering_mode, filtering_score, X_k, C_k, N_k, Xkk, Ckf[0])
+
+    # -- keyframe-selection statistics -----------------------------------------
+    match_frac_k, unique_frac_f = kf_selection_stats(vmatch, idx0, valid_kf, n)
+
+    # -- quality-job tensors (reference tracker.py:95-145) ----------------------
+    r_pix, valid_submit, t_norm, theta = quality_job_tensors(
+        use_calib, T_CkCf, Xf, Xk_can, valid_kf, meas_k, valid_meas_k, K,
+        img_hw, sigma_pixel, sigma_depth)
+
+    return {
+        "feat_f": feat_f, "pos_f": pos_f,
+        "X_frame": Xff[0], "C_frame": Cff[0],
+        "idx_f2k": idx_f2k, "valid_match": vmatch,
+        "Qk": Qk, "Qkf": Qkf[:, None][None], "Qff": Qff[:, None][None],
+        "T_WCf": T_WCf_new, "T_CkCf": T_CkCf, "ok": ok,
+        "match_frac": match_frac,
+        "X_k_new": X_k_new, "C_k_new": C_k_new,
+        "N_k_new": jnp.asarray(N_k_new, jnp.float32),
+        "match_frac_k": match_frac_k, "unique_frac_f": unique_frac_f,
+        "Ck_avg": Ck_avg, "r_pix": r_pix, "valid_submit": valid_submit,
+        "t_norm": t_norm, "theta": theta,
+    }
+
+
+def fuse_pointmap(filtering_mode, filtering_score, X_k, C_k, N_k, Xkk, Ckf0):
+    """Keyframe pointmap fusion — all six reference policies
+    (frame.py:41-105), expressed jit-compatibly. ``Xkk``: the frame's points
+    mapped into the keyframe frame; ``Ckf0``: their confidences."""
     if filtering_mode == "weighted_pointmap":
-        X_k_new = (C_k * X_k + Ckf[0] * Xkk) / (C_k + Ckf[0])
-        C_k_new = C_k + Ckf[0]
+        X_k_new = (C_k * X_k + Ckf0 * Xkk) / (C_k + Ckf0)
+        C_k_new = C_k + Ckf0
         N_k_new = N_k + 1.0
     elif filtering_mode == "weighted_spherical":
         def to_sph(P):
@@ -334,23 +363,23 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
                  rr * jnp.sin(theta) * jnp.sin(phi),
                  rr * jnp.cos(theta)], axis=-1)
 
-        sph = (C_k * to_sph(X_k) + Ckf[0] * to_sph(Xkk)) / (C_k + Ckf[0])
+        sph = (C_k * to_sph(X_k) + Ckf0 * to_sph(Xkk)) / (C_k + Ckf0)
         X_k_new = to_cart(sph)
-        C_k_new = C_k + Ckf[0]
+        C_k_new = C_k + Ckf0
         N_k_new = N_k + 1.0
     elif filtering_mode == "recent":
-        X_k_new, C_k_new, N_k_new = Xkk, Ckf[0], 1.0
+        X_k_new, C_k_new, N_k_new = Xkk, Ckf0, 1.0
     elif filtering_mode == "indep_conf":
-        better = Ckf[0] > C_k
+        better = Ckf0 > C_k
         X_k_new = jnp.where(better, Xkk, X_k)
-        C_k_new = jnp.where(better, Ckf[0], C_k)
+        C_k_new = jnp.where(better, Ckf0, C_k)
         N_k_new = 1.0
     elif filtering_mode == "first":
         # keep the FIRST post-creation update (reference frame.py:74-76):
         # N_k == 1 means only the mono-init map exists → adopt this update.
         first = N_k <= 1.0
         X_k_new = jnp.where(first, Xkk, X_k)
-        C_k_new = jnp.where(first, Ckf[0], C_k)
+        C_k_new = jnp.where(first, Ckf0, C_k)
         N_k_new = 2.0  # sentinel: > 1 blocks later updates
     elif filtering_mode == "best_score":
         # The stored map's C is always the WINNING update's C (N stays 1 in
@@ -358,21 +387,31 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
         # reference's persistent best-score policy (frame.py:62-68) without
         # carrying a separate score field through the fused program.
         score = (jnp.median if filtering_score == "median" else jnp.mean)
-        better = score(Ckf[0]) > score(C_k / jnp.maximum(N_k, 1.0))
+        better = score(Ckf0) > score(C_k / jnp.maximum(N_k, 1.0))
         X_k_new = jnp.where(better, Xkk, X_k)
-        C_k_new = jnp.where(better, Ckf[0], C_k)
+        C_k_new = jnp.where(better, Ckf0, C_k)
         N_k_new = 1.0
     else:
         X_k_new, C_k_new, N_k_new = X_k, C_k, N_k
+    return X_k_new, C_k_new, N_k_new
 
-    # -- keyframe-selection statistics -----------------------------------------
+
+def kf_selection_stats(vmatch, idx0, valid_kf, n):
+    """Keyframe-selection coverage statistics (reference tracker.py:168-181):
+    fraction of keyframe pixels matched, and fraction of keyframe pixels hit
+    by a UNIQUE frame pixel."""
     match_frac_k = jnp.mean(valid_kf.astype(jnp.float32))
     hit = jnp.zeros((n,), jnp.float32).at[
         jnp.where(vmatch[:, 0], idx0, 0)
     ].max(jnp.where(vmatch[:, 0], 1.0, 0.0))
     unique_frac_f = jnp.sum(hit) / n
+    return match_frac_k, unique_frac_f
 
-    # -- quality-job tensors (reference tracker.py:95-145) ----------------------
+
+def quality_job_tensors(use_calib, T_CkCf, Xf, Xk_can, valid_kf, meas_k,
+                        valid_meas_k, K, img_hw, sigma_pixel, sigma_depth):
+    """Per-pixel quality-job residuals + pose magnitude (reference
+    tracker.py:95-145): what the tracker submits to the quality service."""
     Xf_Ck = lie.act(T_CkCf[None], Xf)
     if use_calib:
         pzf, valid_proj = geometry.project_calib(Xf_Ck, K, img_hw)
@@ -386,20 +425,7 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
         r_pix = jnp.linalg.norm(rd_k - rd_f, axis=-1)
         valid_submit = valid_kf[..., 0]
     t_norm, theta = pose_magnitude(T_CkCf)
-
-    return {
-        "feat_f": feat_f, "pos_f": pos_f,
-        "X_frame": Xff[0], "C_frame": Cff[0],
-        "idx_f2k": idx_f2k, "valid_match": vmatch,
-        "Qk": Qk, "Qkf": Qkf[:, None][None], "Qff": Qff[:, None][None],
-        "T_WCf": T_WCf_new, "T_CkCf": T_CkCf, "ok": ok,
-        "match_frac": match_frac,
-        "X_k_new": X_k_new, "C_k_new": C_k_new,
-        "N_k_new": jnp.asarray(N_k_new, jnp.float32),
-        "match_frac_k": match_frac_k, "unique_frac_f": unique_frac_f,
-        "Ck_avg": Ck_avg, "r_pix": r_pix, "valid_submit": valid_submit,
-        "t_norm": t_norm, "theta": theta,
-    }
+    return r_pix, valid_submit, t_norm, theta
 
 
 class FrameTracker:

@@ -79,6 +79,12 @@ def load_state(path, keyframes, factor_graph=None) -> int:
         keyframes.feat = keyframes.feat.at[:n].set(jnp.asarray(z["feat"]))
         keyframes.pos = keyframes.pos.at[:n].set(jnp.asarray(z["pos"]))
         keyframes.version[:n] = z["version"]
+        # The pointmap buffers were just replaced wholesale: bump the CONTENT
+        # version of every restored slot so any consumer keyed on xc_version
+        # (the factor graph's measured-channel cache, the TSDF refiner's
+        # content hashes) can never serve channels computed from the
+        # pre-restore pointmaps.
+        keyframes.xc_version[:n] += 1
         if "K" in z:
             keyframes.K = jnp.asarray(z["K"])
         for i in range(n):
@@ -90,11 +96,14 @@ def load_state(path, keyframes, factor_graph=None) -> int:
             keyframes.img_shapes[i] = (hw, hw)
             keyframes.frame_id_to_index[int(z["dataset_idx"][i])] = i
             keyframes.is_dirty[i] = True
+    if factor_graph is not None and hasattr(factor_graph, "drop_meas_cache"):
+        # Unconditionally: even an edge-less/older checkpoint replaced the
+        # keyframe pointmaps above, so a warm measured-channel cache from the
+        # pre-restore session must never survive a restore.
+        factor_graph.drop_meas_cache()
     if factor_graph is not None and "edges_ii" in z:
         factor_graph.ii = z["edges_ii"]
         factor_graph.jj = z["edges_jj"]
-        if hasattr(factor_graph, "drop_meas_cache"):
-            factor_graph.drop_meas_cache()
         factor_graph.idx_ii2jj = jnp.asarray(z["idx_ii2jj"])
         factor_graph.idx_jj2ii = jnp.asarray(z["idx_jj2ii"])
         factor_graph.valid_match_j = jnp.asarray(z["valid_match_j"])

@@ -225,3 +225,45 @@ def test_ate_rmse_self():
         res = ev.ate_rmse(gt, est, align=True, scale=True)
         assert res["rmse"] < 1e-6
         assert res["n_pairs"] == 50
+
+
+def test_weights_pth_to_npz_to_cli(synth_dataset, tiny_config_file, tmp_path,
+                                   monkeypatch):
+    """Reference-format .pth → load_checkpoint → save_params_npz →
+    ``main.py --weights`` runs end-to-end (the full weight-ingestion path a
+    user of the reference checkpoint would take; mast3r_utils.py:14-31)."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from tests.test_convert import synthetic_torch_state_dict
+    from mast3r_slam_tpu.models import mast3r as M
+    from mast3r_slam_tpu.models.convert import (load_checkpoint,
+                                                save_params_npz)
+    import main as cli
+
+    cfg = M.tiny_config()
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in synthetic_torch_state_dict(cfg).items()}
+    pth = tmp_path / "tiny_reference_format.pth"
+    torch.save({"model": sd, "args": {}}, pth)
+
+    params = load_checkpoint(pth, enc_depth=cfg.enc_depth,
+                             dec_depth=cfg.dec_depth)
+    npz = tmp_path / "tiny_converted.npz"
+    save_params_npz(params, npz)
+
+    monkeypatch.chdir(tmp_path)
+    cli.main([
+        "--dataset", str(synth_dataset),
+        "--config", str(tiny_config_file),
+        "--no-viz",
+        "--save-as", "pth_roundtrip",
+        "--weights", str(npz),
+        "--max-frames", "4",
+    ])
+    out = pathlib.Path("logs") / "pth_roundtrip" / synth_dataset.name
+    traj = out / f"{synth_dataset.name}.txt"
+    assert traj.exists()
+    rows = [l for l in traj.read_text().splitlines() if l.strip()]
+    assert rows and np.isfinite([float(v) for v in rows[0].split()]).all()

@@ -84,3 +84,35 @@ def test_act_sim3_consistency():
     np.testing.assert_allclose(
         np.asarray(geometry.act_Sim3(T, X)), np.asarray(lie.act(T, X)), atol=1e-6
     )
+
+
+def test_estimate_focal_and_project_to_index_roundtrip():
+    """Pinhole scene: estimate_focal recovers f; project_to_index with the
+    estimated focal + relative pose lands within a pixel of ground truth."""
+    from mast3r_slam_tpu.ops import geometry, lie
+
+    H, W, f = 24, 32, 40.0
+    uv = np.asarray(geometry.get_pixel_coords((H, W)))
+    rng = np.random.default_rng(0)
+    z = 2.0 + rng.random((H * W, 1)).astype(np.float32)
+    K = jnp.asarray([[f, 0.0, (W - 1) / 2.0],
+                     [0.0, f, (H - 1) / 2.0],
+                     [0.0, 0.0, 1.0]])
+    X_i = geometry.backproject(jnp.asarray(uv), jnp.asarray(z), K)[None]
+
+    f_est = geometry.estimate_focal(X_i, (H, W))
+    np.testing.assert_allclose(np.asarray(f_est), f, rtol=1e-3)
+
+    T_i = lie.identity()[None]
+    T_j = lie.exp(jnp.asarray([0.03, -0.02, 0.01, 0.01, -0.01, 0.02, 0.0]))[None]
+    idx = np.asarray(geometry.project_to_index(X_i, T_i, T_j, f_est, (H, W)))[0]
+
+    # ground truth: project through T_j^{-1} T_i with the true K
+    P = np.asarray(lie.act(lie.compose(lie.inv(T_j), T_i)[:, None, :], X_i))[0]
+    u = f * P[:, 0] / P[:, 2] + (W - 1) / 2.0
+    v = f * P[:, 1] / P[:, 2] + (H - 1) / 2.0
+    inb = (u > 0) & (u < W - 1) & (v > 0) & (v < H - 1)
+    gt = np.round(np.clip(v, 0, H - 1)) * W + np.round(np.clip(u, 0, W - 1))
+    du = np.abs(idx % W - gt % W)[inb]
+    dv = np.abs(idx // W - gt // W)[inb]
+    assert du.max() <= 1 and dv.max() <= 1

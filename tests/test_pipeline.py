@@ -29,7 +29,7 @@ class StubModel:
     """Identity-correspondence stand-in for MASt3RInference."""
 
     def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, img_hw,
-                        init_i2j=None):
+                        init_i2j=None, init_j2i=None):
         b = feat_i.shape[0]
         idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (b, N))
         valid = jnp.ones((b, N, 1), bool)

@@ -15,14 +15,15 @@ from mast3r_slam_tpu.services.quality_core import (
 RNG = np.random.default_rng(11)
 
 
-def test_masked_median_matches_numpy():
+def test_masked_median_matches_torch_nanmedian():
     x = jnp.asarray(RNG.random((6, 32)).astype(np.float32))
     mask = jnp.asarray(RNG.random((6, 32)) > 0.4)
     got = np.asarray(masked_median(x, mask))
     for i in range(6):
-        vals = np.asarray(x[i])[np.asarray(mask[i])]
-        want = np.median(vals) if vals.size else 0.0
-        # sort-based median averages elements (k-1)//2 and k//2 like numpy
+        vals = np.sort(np.asarray(x[i])[np.asarray(mask[i])])
+        # torch.nanmedian convention (reference quality_core.py:21-26):
+        # the LOWER middle element for even counts, not numpy's average
+        want = vals[(vals.size - 1) // 2] if vals.size else 0.0
         np.testing.assert_allclose(got[i], want, atol=1e-6)
 
 
