@@ -209,6 +209,7 @@ class MASt3RInference:
             dilation_max=int(c.get("dilation_max", 5)),
             refine_mode=matching.resolve_refine_mode(c),
             plateau_frac=float(c.get("plateau_frac", 0.001)),
+            level_step=int(c.get("level_step", 1)),
         )
 
 

@@ -209,8 +209,21 @@ def _window_offsets_np(radius: int, dilation: int) -> np.ndarray:
     return np.stack([du.ravel(), dv.ravel()], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("radius", "dilation_max", "mode"))
-def refine_matches(D11, D21, p1, radius=3, dilation_max=5, mode="plus"):
+def _dilation_levels(dilation_max: int, step: int) -> list:
+    """Coarse-to-fine dilation schedule. ``step=1`` is the reference's full
+    ladder (d = dilation_max..1); ``step=2`` skips every other level but
+    ALWAYS ends at d=1 so the final position is refined at pixel
+    granularity."""
+    levels = list(range(dilation_max, 0, -step))
+    if levels[-1] != 1:
+        levels.append(1)
+    return levels
+
+
+@partial(jax.jit, static_argnames=("radius", "dilation_max", "mode",
+                                   "level_step"))
+def refine_matches(D11, D21, p1, radius=3, dilation_max=5, mode="plus",
+                   level_step=1):
     """Coarse-to-fine descriptor-similarity refinement of integer matches.
 
     ``D11 (B, H, W, F)`` target descriptor image; ``D21 (B, N, F)`` query
@@ -287,7 +300,7 @@ def refine_matches(D11, D21, p1, radius=3, dilation_max=5, mode="plus"):
         return jax.vmap(one_img)(D11h, pu, pv, D21h)
 
     pu, pv = p1[..., 0], p1[..., 1]
-    for d in range(dilation_max, 0, -1):
+    for d in _dilation_levels(dilation_max, level_step):
         rng = np.arange(-radius, radius + 1) * d
         zeros = np.zeros_like(rng)
         if mode == "separable":
@@ -343,11 +356,12 @@ def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
 
 
 @partial(jax.jit, static_argnames=("max_iter", "radius", "dilation_max",
-                                   "refine_mode", "plateau_frac"))
+                                   "refine_mode", "plateau_frac",
+                                   "level_step"))
 def match(X11, X21, D11, D21, idx_1_to_2_init=None, *, max_iter=10,
           lambda_init=1e-8, convergence_thresh=1e-6, dist_thresh=0.1,
           radius=3, dilation_max=5, refine_mode="plus",
-          plateau_frac=0.001):
+          plateau_frac=0.001, level_step=1):
     """Full matching pipeline: LM projection + occlusion gate + refinement.
 
     Returns ``(idx_1_to_2 (B, N) int32, valid (B, N, 1) bool)`` where N = H*W:
@@ -374,7 +388,7 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, *, max_iter=10,
 
     if radius > 0:
         p1 = refine_matches(D11, D21.reshape(b, h * w, -1), p1, radius,
-                            dilation_max, refine_mode)
+                            dilation_max, refine_mode, level_step)
 
     idx = pixel_to_lin(p1, w)
     return idx, valid[..., None]

@@ -14,11 +14,13 @@ TPU-first redesign: the reference's per-point/per-sample Python loops
 (tsdf_refine.py:887-1021 — its slowest code) become two jitted fixed-shape
 kernels:
 
-- :func:`build_block_tsdf` — every (point, sample) pair is one lane: S
-  samples along each camera ray inside the truncation band, scatter-add of
-  (w·sdf, w) into the flattened G³ grid.
-- :func:`raycast_block` — per pixel, R samples in a ±band around the original
-  depth, trilinear TSDF interpolation, first zero-crossing with linear
+- :func:`build_block_tsdf_projective` — the production build: every VOXEL
+  gathers its projective signed distance from the keyframe's range image
+  (gather-only; the sample-scatter :func:`build_block_tsdf` is kept for
+  unordered point sets but its colliding scatter-adds serialize on TPU).
+- :func:`raycast_block` — per block pixel (compacted to a power-of-two
+  bucket), R samples in a ±band around the original depth, packed-corner
+  trilinear TSDF interpolation, first zero-crossing with linear
   interpolation → refined depth, plus hit/displacement guards.
 
 Block grids are padded to the static ``max_grid_dim`` so XLA compiles once.
@@ -81,34 +83,57 @@ def build_block_tsdf(points, conf, origin_cam, grid_origin, voxel_size,
     return tsdf.reshape(G, G, G), flat_w.reshape(G, G, G)
 
 
-def _trilinear(grid, pts):
-    """Trilinear sample ``grid (G, G, G)`` at continuous voxel coords
-    ``pts (..., 3)``; out-of-range clamped."""
-    G = grid.shape[0]
-    p = jnp.clip(pts, 0.0, G - 1.000001)
-    p0 = jnp.floor(p).astype(jnp.int32)
-    f = p - p0
-    p1 = jnp.minimum(p0 + 1, G - 1)
+@partial(jax.jit, static_argnames=("grid_dim", "img_size"))
+def build_block_tsdf_projective(X_cam, conf, T_WC, grid_origin, voxel_size,
+                                trunc, grid_dim, img_size):
+    """Projective voxel-parallel TSDF build from a PIXEL-ORDERED pointmap.
 
-    def g(ix, iy, iz):
-        return grid[ix, iy, iz]
+    The TPU-native formulation of :func:`build_block_tsdf` for the production
+    input (a keyframe pointmap): instead of scattering P×S ray samples into
+    voxels — a scatter-add whose colliding indices serialize catastrophically
+    on TPU (measured seconds per block at 196k points) — every VOXEL gathers
+    its own signed distance: project the voxel center into the camera
+    (median-focal pinhole fit of the pointmap, ops/geometry.estimate_focal),
+    read the hit pixel's range R and confidence, and deposit the projective
+    ``sdf = (R - r)/trunc`` with weight ``conf·max(0, 1-|sdf|)`` — the same
+    field the sampling build averages, evaluated on the voxel's own camera
+    ray. One coherent (G³,)-row gather from an (H·W,) range image; no
+    scatter at all.
 
-    c000 = g(p0[..., 0], p0[..., 1], p0[..., 2])
-    c001 = g(p0[..., 0], p0[..., 1], p1[..., 2])
-    c010 = g(p0[..., 0], p1[..., 1], p0[..., 2])
-    c011 = g(p0[..., 0], p1[..., 1], p1[..., 2])
-    c100 = g(p1[..., 0], p0[..., 1], p0[..., 2])
-    c101 = g(p1[..., 0], p0[..., 1], p1[..., 2])
-    c110 = g(p1[..., 0], p1[..., 1], p0[..., 2])
-    c111 = g(p1[..., 0], p1[..., 1], p1[..., 2])
-    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
-    c00 = c000 * (1 - fz) + c001 * fz
-    c01 = c010 * (1 - fz) + c011 * fz
-    c10 = c100 * (1 - fz) + c101 * fz
-    c11 = c110 * (1 - fz) + c111 * fz
-    c0 = c00 * (1 - fy) + c01 * fy
-    c1 = c10 * (1 - fy) + c11 * fy
-    return c0 * (1 - fx) + c1 * fx
+    ``X_cam (H·W, 3)`` camera-frame pointmap in pixel order; ``T_WC (8,)``
+    Sim3 world-from-camera. Returns ``(tsdf (G,G,G), weight (G,G,G))`` in the
+    same layout/convention as :func:`build_block_tsdf` (weight-0 voxels hold
+    tsdf=1.0), directly consumable by :func:`raycast_block`.
+    """
+    from mast3r_slam_tpu.ops import geometry
+
+    H, W = img_size
+    G = grid_dim
+    f = geometry.estimate_focal(X_cam[None], img_size)[0]
+    range_img = jnp.linalg.norm(X_cam, axis=-1)                      # (N,)
+
+    ax = (jnp.arange(G, dtype=jnp.float32) + 0.5) * voxel_size
+    vx = grid_origin[0] + ax
+    vy = grid_origin[1] + ax
+    vz = grid_origin[2] + ax
+    VX, VY, VZ = jnp.meshgrid(vx, vy, vz, indexing="ij")
+    V = jnp.stack([VX, VY, VZ], axis=-1).reshape(-1, 3)              # (G³, 3)
+    Xc = lie.act(lie.inv(T_WC)[None], V)
+    z = Xc[..., 2]
+    r = jnp.linalg.norm(Xc, axis=-1)
+    z_safe = jnp.where(z > 1e-6, z, 1.0)
+    u = f * Xc[..., 0] / z_safe + (W - 1) / 2.0
+    v = f * Xc[..., 1] / z_safe + (H - 1) / 2.0
+    inb = (z > 1e-6) & (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    ui = jnp.clip(jnp.round(u), 0, W - 1).astype(jnp.int32)
+    vi = jnp.clip(jnp.round(v), 0, H - 1).astype(jnp.int32)
+    pix = vi * W + ui
+    R = range_img[pix]
+    c = conf[pix]
+    sdf = (R - r) / trunc
+    w = jnp.where(inb, c * jnp.maximum(1.0 - jnp.abs(sdf), 0.0), 0.0)
+    tsdf = jnp.where(w > 0, sdf, 1.0)
+    return tsdf.reshape(G, G, G), w.reshape(G, G, G)
 
 
 @partial(jax.jit, static_argnames=("n_samples",))
@@ -132,8 +157,33 @@ def raycast_block(tsdf, weight, points, mask, origin_cam, grid_origin,
     samples = origin_cam + dirs[:, None, :] * depth[..., None]
     vox = (samples - grid_origin) / voxel_size
 
-    phi = _trilinear(tsdf, vox)                                        # (P, S)
-    wgt = _trilinear(weight, vox)
+    # Packed-corner trilinear: gather the 2x2x2 footprint of BOTH fields as
+    # ONE (16,)-wide row per sample instead of 16 scalar gathers — TPU
+    # gathers are row-rate-bound, so this is ~16x fewer gather rows (the
+    # same corner-stacking trick as ops/matching's bilinear footprint).
+    G = tsdf.shape[0]
+
+    def corner_stack(g):
+        return jnp.stack(
+            [jnp.roll(g, (-dx, -dy, -dz), axis=(0, 1, 2))
+             for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+            axis=-1,
+        )
+
+    packed = jnp.concatenate(
+        [corner_stack(tsdf), corner_stack(weight)], axis=-1
+    ).reshape(G * G * G, 16)
+    p = jnp.clip(vox, 0.0, G - 1.000001)
+    p0 = jnp.floor(p).astype(jnp.int32)          # ≤ G-2: rolls never wrap
+    f = p - p0
+    lin = (p0[..., 0] * G + p0[..., 1]) * G + p0[..., 2]
+    rows = packed[lin]                            # (P, S, 16)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    wts = [((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+            * (fz if dz else 1 - fz))
+           for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+    phi = sum(wts[c] * rows[..., c] for c in range(8))                 # (P, S)
+    wgt = sum(wts[c] * rows[..., 8 + c] for c in range(8))
     valid_s = wgt > min_weight
 
     # first sign change + → − along the ray with both endpoints valid
@@ -477,17 +527,39 @@ class TSDFRefiner:
         voxel = max(self.voxel_size, extent / G)
         grid_origin = jnp.asarray(lo, jnp.float32)
 
-        tsdf, weight = build_block_tsdf(
-            Xw, conf, origin, grid_origin, voxel, self.trunc, G, 16
+        # Projective voxel-parallel build (gather-only; the sample-scatter
+        # kernel serializes on colliding voxel indices — seconds per block
+        # at production scale).
+        tsdf, weight = build_block_tsdf_projective(
+            X, conf, T_WC, grid_origin, voxel, self.trunc, G,
+            (kf.h, kf.w),
         )
-        new_w, refined = raycast_block(
-            tsdf, weight, Xw, jnp.asarray(mask), origin, grid_origin,
+        # Raycast only the block's pixels, compacted to a power-of-two
+        # bucket: the dense call paid 196k×S×8 trilinear gathers for a
+        # block that touches a small fraction of the frame.
+        B = 256
+        while B < sel.size:
+            B *= 2
+        sel_pad = np.zeros(B, np.int64)
+        sel_pad[:sel.size] = sel
+        mask_pad = np.zeros(B, bool)
+        mask_pad[:sel.size] = True
+        sel_j = jnp.asarray(sel_pad)
+        Xw_sel = Xw[sel_j]
+        new_sel, refined_sel = raycast_block(
+            tsdf, weight, Xw_sel, jnp.asarray(mask_pad), origin, grid_origin,
             voxel, 0.1, self.min_weight, self.max_disp, self.ray_samples,
         )
-        refined_np = np.asarray(refined)
-        hits = int(refined_np.sum())
+        refined_sel_np = np.asarray(refined_sel)[:sel.size]
+        refined_np = np.zeros(Xw_np.shape[0], bool)
+        refined_np[sel] = refined_sel_np
+        hits = int(refined_sel_np.sum())
         if hits < self.min_hit_rate * sel.size:
             return False
+        new_w = None
+        if self.geo_weight > 0:
+            new_w = Xw.at[sel_j].set(
+                jnp.where(refined_sel[:, None], new_sel, Xw_sel))
 
         # Conservative fusion: confidence boost (+ optional geometric blend),
         # iff the keyframe version is unchanged.

@@ -220,6 +220,7 @@ def make_scfg(tracking_cfg: dict, matching_cfg: dict) -> tuple:
         float(m.get("dist_thresh", 0.1)), int(m.get("radius", 3)),
         int(m.get("dilation_max", 5)),
         matching.resolve_refine_mode(m), float(m.get("plateau_frac", 0.001)),
+        int(m.get("level_step", 1)),
         str(c["filtering_mode"]), str(c.get("filtering_score", "median")),
     )
 
@@ -245,8 +246,8 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
     (sigma_ray, sigma_dist, sigma_pixel, sigma_depth, huber_k, max_iters,
      rel_error, delta_norm, C_conf, Q_conf, pixel_border, depth_eps,
      match_max_iter, match_lambda, match_conv, match_dist, match_radius,
-     match_dilation, match_refine_mode, match_plateau, filtering_mode,
-     filtering_score) = scfg
+     match_dilation, match_refine_mode, match_plateau, match_level_step,
+     filtering_mode, filtering_score) = scfg
     H, W = img_hw
     n = H * W
 
@@ -270,6 +271,7 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
         convergence_thresh=match_conv, dist_thresh=match_dist,
         radius=match_radius, dilation_max=match_dilation,
         refine_mode=match_refine_mode, plateau_frac=match_plateau,
+        level_step=match_level_step,
     )
     idx0 = idx_f2k[0]
     vmatch = valid_match[0]                                   # (n, 1)
@@ -401,10 +403,13 @@ def kf_selection_stats(vmatch, idx0, valid_kf, n):
     fraction of keyframe pixels matched, and fraction of keyframe pixels hit
     by a UNIQUE frame pixel."""
     match_frac_k = jnp.mean(valid_kf.astype(jnp.float32))
-    hit = jnp.zeros((n,), jnp.float32).at[
-        jnp.where(vmatch[:, 0], idx0, 0)
-    ].max(jnp.where(vmatch[:, 0], 1.0, 0.0))
-    unique_frac_f = jnp.sum(hit) / n
+    # distinct-target count via SORT, not scatter-max: TPU scatters with
+    # colliding indices serialize (same pathology as the TSDF build), while
+    # a 196k int32 sort is a fast fixed-depth bitonic network.
+    s = jnp.sort(jnp.where(vmatch[:, 0], idx0, -1))
+    first = (s[:1] >= 0).astype(jnp.float32)
+    new_vals = ((s[1:] != s[:-1]) & (s[1:] >= 0)).astype(jnp.float32)
+    unique_frac_f = (jnp.sum(new_vals) + jnp.sum(first)) / n
     return match_frac_k, unique_frac_f
 
 

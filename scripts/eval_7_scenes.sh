@@ -9,6 +9,9 @@ for seq in "${SEQS[@]}"; do
   echo "=== $seq ==="
   python main.py --dataset "$ROOT/$seq" --config config/eval_calib.yaml \
       --no-viz --save-as eval_7scenes "$@"
-  python -m mast3r_slam_tpu.evaluation "groundtruths/7-scenes/$seq.txt" \
+  GT="groundtruths/7-scenes/$seq.txt"
+  # derive the TUM-format gt from the dataset's own pose files if absent
+  [ -f "$GT" ] || python scripts/make_7scenes_gt.py "$ROOT/$seq" "$GT"
+  python -m mast3r_slam_tpu.evaluation "$GT" \
       "logs/eval_7scenes/$seq/$seq.txt" -as
 done

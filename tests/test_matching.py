@@ -172,3 +172,38 @@ def test_img_gradient_linear_field():
     inner = np.asarray(gx[0, 2:-2, 2:-2, 0])
     np.testing.assert_allclose(inner, 1.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gy[0, 2:-2, 2:-2, 0]), 0.0, atol=1e-5)
+
+
+def test_refine_matches_level_step_smooth_field():
+    """The strided coarse-to-fine schedule (level_step=2: d = 5, 3, 1)
+    agrees with the full ladder on realistic smooth descriptor fields —
+    pins the quality claim behind matching.level_step (the per-level gather
+    pass is the single hottest tracking cost)."""
+    h, w, f = 48, 64, 16
+    rng = np.random.default_rng(41)  # own stream: suite order must not matter
+    u, v = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    feats = [np.sin(u / s + p) * np.cos(v / t + q)
+             for s, t, p, q in rng.uniform(2.0, 9.0, size=(f, 4))]
+    D = np.stack(feats, axis=-1).astype(np.float32)
+    D += 0.01 * rng.normal(size=D.shape).astype(np.float32)
+    D /= np.linalg.norm(D, axis=-1, keepdims=True) + 1e-9
+    D11 = jnp.asarray(D)[None]
+    gt = np.stack(
+        [rng.integers(12, w - 12, size=60), rng.integers(12, h - 12, size=60)],
+        axis=-1,
+    )
+    D21 = jnp.asarray(D[gt[:, 1], gt[:, 0]])[None]
+    p0 = gt + rng.integers(-8, 9, size=gt.shape)
+
+    p_full = matching.refine_matches(
+        D11, D21, jnp.asarray(p0)[None], radius=3, dilation_max=5,
+        mode="plus", level_step=1)
+    p_fast = matching.refine_matches(
+        D11, D21, jnp.asarray(p0)[None], radius=3, dilation_max=5,
+        mode="plus", level_step=2)
+    err_full = np.abs(np.asarray(p_full[0]) - gt).max(axis=-1)
+    err_fast = np.abs(np.asarray(p_fast[0]) - gt).max(axis=-1)
+    assert (err_full <= 1).mean() > 0.9
+    assert (err_fast <= 1).mean() > 0.85, (err_fast <= 1).mean()
+    agree = (np.abs(np.asarray(p_fast[0]) - np.asarray(p_full[0])) <= 1).all(-1)
+    assert agree.mean() > 0.85, f"level_step=2 disagrees: {agree.mean()}"

@@ -183,3 +183,99 @@ def test_sharded_pallas_calib_matches_xla(mesh):
     # 5e-5: kernel-vs-XLA f32 formulation noise after 3 GN iterations
     np.testing.assert_allclose(np.asarray(T_xla), np.asarray(T_pallas),
                                rtol=1e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Production-shape sharded validation (slow: run explicitly with -m slow).
+# XLA sharding pathologies (collective layouts, sharded-scan reshapes) often
+# appear only at production shapes; these run the REAL sizes once on the
+# virtual mesh. Wall times on this machine are recorded in
+# docs/PERFORMANCE.md.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["rays", "calib"])
+def test_production_shape_sharded_solve(mesh, kind):
+    """One production-scale GN iteration, edge-sharded over the mesh:
+    cap=110 poses, 128 two-way edges (=256 one-way rows), 196k pixels —
+    exactly the flagship solve the backend dispatches on v5e."""
+    n_dev = jax.device_count()
+    cap, n_pix, E2 = 110, 384 * 512, 256
+    assert E2 % n_dev == 0
+    rng = np.random.default_rng(0)
+    ii = jnp.asarray((np.arange(E2) % (cap - 1)).astype(np.int32))
+    jj = jnp.asarray((np.asarray(ii) + 1).astype(np.int32))
+    scene = (rng.random((1, n_pix, 3)) + [0, 0, 2.0]).astype(np.float32)
+    X = jnp.asarray(np.broadcast_to(scene, (cap, n_pix, 3)))
+    Cavg = jnp.ones((cap, n_pix, 1), jnp.float32)
+    T = jnp.tile(lie.identity()[None], (cap, 1))
+    T = T.at[1:, 0].set(jnp.asarray(rng.normal(size=cap - 1) * 0.01,
+                                    jnp.float32))
+    base = np.arange(n_pix, dtype=np.int32)
+    idx = jnp.asarray(np.clip(
+        base[None] + rng.integers(-512, 512, (E2, n_pix)), 0, n_pix - 1
+    ).astype(np.int32))
+    valid = jnp.ones((E2, n_pix, 1), bool)
+    Q = jnp.ones((E2, n_pix, 1), jnp.float32)
+    mask = jnp.ones((E2,), jnp.float32)
+    free = jnp.asarray(np.arange(cap) > 0)
+
+    import time
+    t0 = time.perf_counter()
+    if kind == "rays":
+        meas = FG.precompute_meas_rays(X, Cavg, ii, jj, idx, valid, Q,
+                                       0.0, 0.0)
+    else:
+        meas = FG.precompute_meas_calib(X, Cavg, ii, jj, idx, valid, Q,
+                                        512, 1e-6, 0.0, 0.0)
+    jax.block_until_ready(meas)
+    t_pre = time.perf_counter() - t0
+
+    meas_sh = tuple(S.shard_leading(ch, mesh) for ch in meas)
+    args = dict(T_ii=(S.replicate(T, mesh), meas_sh,
+                      S.shard_leading(ii, mesh), S.shard_leading(jj, mesh),
+                      S.shard_leading(mask, mesh), S.replicate(free, mesh)))
+    t0 = time.perf_counter()
+    if kind == "rays":
+        T_new = FG.gauss_newton_rays(*args["T_ii"], 0.003, 10.0, 1, 1e-12)
+    else:
+        K = jnp.asarray([[500.0, 0.0, 256.0], [0.0, 500.0, 192.0],
+                         [0.0, 0.0, 1.0]])
+        a = args["T_ii"]
+        T_new = FG.gauss_newton_calib(
+            a[0], a[1], S.replicate(K, mesh), a[2], a[3], a[4], a[5],
+            (384, 512), -10.0, 1e-6, 1.0, 10.0, 1, 1e-12)
+    jax.block_until_ready(T_new)
+    t_solve = time.perf_counter() - t0
+    assert T_new.shape == (cap, 8)
+    assert bool(jnp.all(jnp.isfinite(T_new)))
+    print(f"\n[production-shape {kind}] premeas {t_pre:.1f}s, "
+          f"1 GN iter sharded {t_solve:.1f}s (1-core CPU mesh, {n_dev} dev)")
+
+
+@pytest.mark.slow
+def test_production_shape_sharded_decode(mesh):
+    """Sharded symmetric decode at the 512-crop token/pixel shapes (tiny
+    layer dims — the sharding layouts depend on shapes, not depth)."""
+    cfg = M.tiny_config()
+    H, W = 384, 512
+    n_tok = (H // 16) * (W // 16)
+    B = jax.device_count()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    feat_i = jax.random.normal(key, (B, n_tok, cfg.enc_embed_dim))
+    feat_j = jax.random.normal(jax.random.fold_in(key, 1), feat_i.shape)
+    pos = M.patch_positions(H // 16, W // 16, B)
+
+    import time
+    sharded = MASt3RInference(params, cfg, mesh=mesh)
+    t0 = time.perf_counter()
+    X, C, D, Q = sharded.decode_symmetric_batch(feat_i, pos, feat_j, pos,
+                                                (H, W))
+    jax.block_until_ready(X)
+    t = time.perf_counter() - t0
+    assert X.shape == (4, B, H, W, 3)
+    assert bool(jnp.all(jnp.isfinite(D)))
+    print(f"\n[production-shape decode] B={B} sharded symmetric decode "
+          f"{t:.1f}s (1-core CPU mesh)")

@@ -123,3 +123,28 @@ def test_id_to_kf_mapping_with_offset_indices():
         db.update(fr, add_after_query=True, k=3, kf_idx=OFFSET + i)
     hits = db.update(frames[0], add_after_query=False, k=3, min_thresh=-1.0)
     assert hits and all(h >= OFFSET for h in hits), hits
+
+
+def test_trajectory_loop_recall():
+    """Loop-closure recall on a rendered out-and-back trajectory through the
+    REAL (tiny) encoder — revisited viewpoints (jittered + noised crops of a
+    textured world) must be retrieved from the first pass. Pins the
+    end-to-end machinery (encoder tokens → feature selection → codebook
+    bootstrap → IVF scoring) that synthetic-descriptor tests bypass; the
+    fuller sweep lives in scripts/retrieval_recall.py (results in
+    docs/PERFORMANCE.md)."""
+    import sys
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from scripts.retrieval_recall import (build_loop_frames, encode_frames,
+                                          measure_recall)
+
+    n_half = 8
+    imgs, revisit_of = build_loop_frames(n_half=n_half)
+    feats, cfg = encode_frames(imgs)
+    rec, total = measure_recall(feats, revisit_of, n_half,
+                                desc_dim=cfg.enc_embed_dim,
+                                min_thresh=5e-3)  # production default
+    assert total == n_half
+    assert rec[2] >= 0.6, f"loop recall@2 regressed: {rec}"

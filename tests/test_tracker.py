@@ -123,3 +123,26 @@ def test_frame_best_score_fusion_policy():
         fr.update_pointmap(X3, C3, "best_score", score)   # higher: replace
         assert float(fr.X_canon[0, 0]) == 9.0
         assert float(fr.C[0, 0]) == 3.0
+
+
+def test_kf_selection_stats_sort_equals_scatter():
+    """The sort-based distinct-target count equals the scatter-max
+    formulation it replaced (scatters with colliding indices serialize on
+    TPU)."""
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.slam.tracker import kf_selection_stats
+
+    rng = np.random.default_rng(7)
+    n = 500
+    idx0 = jnp.asarray(rng.integers(0, n, n).astype(np.int32))
+    vmatch = jnp.asarray(rng.random((n, 1)) < 0.7)
+    valid_kf = jnp.asarray(rng.random((n, 1)) < 0.5)
+
+    mf, uf = kf_selection_stats(vmatch, idx0, valid_kf, n)
+    hit = jnp.zeros((n,), jnp.float32).at[
+        jnp.where(vmatch[:, 0], idx0, 0)
+    ].max(jnp.where(vmatch[:, 0], 1.0, 0.0))
+    np.testing.assert_allclose(float(uf), float(jnp.sum(hit) / n), atol=1e-6)
+    np.testing.assert_allclose(
+        float(mf), float(jnp.mean(valid_kf.astype(jnp.float32))), atol=1e-6)

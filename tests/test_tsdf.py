@@ -171,3 +171,85 @@ def test_refiner_end_to_end_schedule_and_refine():
     C_after = np.asarray(kfs.C[0]).reshape(h, w)
     assert (C_after >= C - 1e-5).all()
     assert (C_after > C + 1e-5).any(), "no confidence boost applied"
+
+
+def _plane_pointmap(H=48, W=64, f=40.0, z=1.0):
+    """Pixel-ordered pointmap of a fronto-parallel plane at depth z."""
+    from mast3r_slam_tpu.ops import geometry
+
+    K = jnp.asarray([[f, 0.0, (W - 1) / 2.0],
+                     [0.0, f, (H - 1) / 2.0],
+                     [0.0, 0.0, 1.0]])
+    uv = geometry.get_pixel_coords((H, W))
+    return geometry.backproject(uv, jnp.full((H * W, 1), z), K), (H, W)
+
+
+def test_projective_build_plane_sign_and_matches_scatter():
+    """The voxel-parallel projective build has the same sign structure as
+    the sample-scatter build and agrees with it near the surface."""
+    from mast3r_slam_tpu.services.tsdf_local import build_block_tsdf_projective
+
+    X_cam, img_size = _plane_pointmap()
+    n = X_cam.shape[0]
+    conf = jnp.ones(n)
+    T = lie.identity()
+    G = 32
+    grid_origin = jnp.asarray([-0.3, -0.3, 0.8], jnp.float32)
+    voxel = 0.02
+    tsdf_p, w_p = build_block_tsdf_projective(
+        X_cam, conf, T, grid_origin, voxel, 0.08, G, img_size)
+    tsdf_s, w_s = build_block_tsdf(
+        X_cam, conf, jnp.zeros(3), grid_origin, voxel, 0.08, G, 16)
+
+    tsdf_p, w_p = np.asarray(tsdf_p), np.asarray(w_p)
+    tsdf_s, w_s = np.asarray(tsdf_s), np.asarray(w_s)
+
+    def at(grid, x, y, z):
+        i, j, k = ((np.array([x, y, z]) - np.asarray(grid_origin))
+                   / voxel).astype(int)
+        return grid[i, j, k]
+
+    assert at(w_p, 0.0, 0.0, 0.95) > 0 and at(w_p, 0.0, 0.0, 1.05) > 0
+    assert at(tsdf_p, 0.0, 0.0, 0.95) > 0 > at(tsdf_p, 0.0, 0.0, 1.05)
+    # where BOTH builds deposited weight, the fields agree (same projective
+    # sdf definition; scatter averages a ray footprint, projective samples
+    # the voxel's own ray → sub-voxel tolerance)
+    both = (w_p > 0.1) & (w_s > 0.1)
+    assert both.sum() > 100
+    diff = np.abs(tsdf_p[both] - tsdf_s[both])
+    assert np.percentile(diff, 90) < 0.35, np.percentile(diff, 90)
+
+
+def test_projective_build_raycast_recovers_plane():
+    """End-to-end production path: projective build + compacted raycast
+    snaps noisy pointmap entries back to the surface."""
+    from mast3r_slam_tpu.services.tsdf_local import build_block_tsdf_projective
+
+    X_cam, img_size = _plane_pointmap()
+    n = X_cam.shape[0]
+    G = 48
+    grid_origin = jnp.asarray([-0.3, -0.3, 0.8], jnp.float32)
+    voxel = 0.01
+    tsdf, weight = build_block_tsdf_projective(
+        X_cam, jnp.ones(n), lie.identity(), grid_origin, voxel, 0.06, G,
+        img_size)
+
+    noisy = np.asarray(X_cam).copy()
+    noisy[:, 2] += RNG.normal(size=n).astype(np.float32) * 0.03
+    sel = np.arange(0, n, 3)  # a "block" of every 3rd pixel, compacted
+    B = 1 << int(np.ceil(np.log2(sel.size)))
+    sel_pad = np.zeros(B, np.int64)
+    sel_pad[:sel.size] = sel
+    mask_pad = np.zeros(B, bool)
+    mask_pad[:sel.size] = True
+    new_pts, ok = raycast_block(
+        tsdf, weight, jnp.asarray(noisy)[jnp.asarray(sel_pad)],
+        jnp.asarray(mask_pad), jnp.zeros(3), grid_origin, voxel,
+        band=0.08, min_weight=0.01, max_displacement=0.1, n_samples=64,
+    )
+    new_pts = np.asarray(new_pts)[:sel.size]
+    ok = np.asarray(ok)[:sel.size]
+    assert ok.mean() > 0.5
+    err_before = np.abs(noisy[sel][ok][:, 2] - 1.0)
+    err_after = np.abs(new_pts[ok][:, 2] - 1.0)
+    assert err_after.mean() < err_before.mean() * 0.7
