@@ -176,6 +176,12 @@ class Viewer(threading.Thread):
             if isinstance(cfg, dict) else True
         self.surfel_radius = 0.01
         self.should_close = threading.Event()
+        # control overlay (the reference's imgui panel; viz/ui.py)
+        from mast3r_slam_tpu.viz.ui import build_default_overlay
+
+        self.overlay = build_default_overlay(self)
+        self.show_ui = bool(cfg.get("viz", {}).get("ui", True)) \
+            if isinstance(cfg, dict) else True
         # orbit camera state
         self.yaw, self.pitch, self.dist = 0.0, -0.4, 4.0
         self.center = np.zeros(3, np.float32)
@@ -213,10 +219,20 @@ class Viewer(threading.Thread):
         self.dist *= 0.9 ** dy
 
     def _on_button(self, win, button, action, mods):
-        self._drag = (None if action == 0 else
-                      self.ctx.glfw.get_cursor_pos(win))
+        if action == 0:
+            self.overlay.handle_release()
+            self._drag = None
+            return
+        x, y = self.ctx.glfw.get_cursor_pos(win)
+        # the overlay consumes clicks inside the panel (reference imgui
+        # capture semantics); everything else starts a camera drag
+        if self.show_ui and self.overlay.handle_press(x, y):
+            return
+        self._drag = (x, y)
 
     def _on_cursor(self, win, x, y):
+        if self.show_ui and self.overlay.handle_drag(x, y):
+            return
         if self._drag is not None:
             x0, y0 = self._drag
             self.yaw += (x - x0) * 0.005
@@ -405,7 +421,24 @@ class Viewer(threading.Thread):
                 if i < n and j < n:
                     eg += [traj[i, :3], traj[j, :3]]
             self._draw_lines(mvp, eg, (0.2, 1.0, 0.3))
+        if self.show_ui:
+            self._draw_overlay()
         self.ctx.swap()
+
+    def _draw_overlay(self):
+        """Screen-space control panel (positions already in NDC)."""
+        GL = self.GL
+        P, C = self.overlay.triangles(self.width, self.height)
+        GL.glDisable(GL.GL_DEPTH_TEST)
+        GL.glUseProgram(self.prog)
+        GL.glUniformMatrix4fv(GL.glGetUniformLocation(self.prog, "mvp"), 1,
+                              True, np.eye(4, dtype=np.float32))
+        locs = [self._bind_attr(self.prog, "in_pos", P),
+                self._bind_attr(self.prog, "in_color", C)]
+        GL.glDrawArrays(GL.GL_TRIANGLES, 0, len(P))
+        for loc in locs:
+            GL.glDisableVertexAttribArray(loc)
+        GL.glEnable(GL.GL_DEPTH_TEST)
 
     # -- main loop -----------------------------------------------------------
 

@@ -49,6 +49,7 @@ def gl_viewer():
 
     kfs, states = _make_scene()
     v = Viewer(kfs, states, {}, width=160, height=120, headless=True)
+    v.show_ui = False  # map-pipeline tests; the overlay has its own test
     try:
         v.init_gl()
     except Exception as e:  # no GL stack at all
@@ -92,3 +93,53 @@ def test_conf_threshold_culls(gl_viewer):
     gl_viewer.render_frame()
     hi = _nonbg_fraction(img := gl_viewer.ctx.read_pixels())
     assert hi > lo, (hi, lo)
+
+
+def test_control_overlay_draws_and_handles_input(gl_viewer):
+    """The imgui-equivalent control panel (viz/ui.py): renders, and its
+    buttons/sliders mutate viewer + shared state exactly like the
+    reference's imgui callbacks (visualization.py:324-332)."""
+    gl_viewer.show_ui = True
+    try:
+        gl_viewer.render_frame()
+        img = gl_viewer.ctx.read_pixels()
+        # panel background color present (top-left region)
+        panel_px = img[6:100, 6:100].reshape(-1, 3)
+        bg = np.array([int(0.12 * 255), int(0.13 * 255), int(0.18 * 255)])
+        assert (np.abs(panel_px.astype(int) - bg).sum(-1) < 12).mean() > 0.2
+
+        ov = gl_viewer.overlay
+        # pause button = first widget
+        btn = ov.widgets[0]
+        x = btn.rect[0] + 5
+        y = btn.rect[1] + 5
+        with gl_viewer.states.lock:
+            paused0 = gl_viewer.states.paused
+        assert ov.handle_press(x, y)
+        with gl_viewer.states.lock:
+            assert gl_viewer.states.paused != paused0
+        assert btn.text() in ("PAUSE", "RESUME")
+        ov.handle_release()
+
+        # conf slider: press at 50% then drag to ~100%
+        sld = [w for w in ov.widgets if hasattr(w, "lo")][0]
+        sx, sy, sw, sh = sld.rect
+        assert ov.handle_press(sx + sw * 0.5, sy + sh / 2)
+        v_mid = sld.get()
+        assert abs(v_mid - (sld.lo + 0.5 * (sld.hi - sld.lo))) < 0.2 * (
+            sld.hi - sld.lo)
+        assert ov.handle_drag(sx + sw, sy + sh / 2)
+        assert sld.get() > v_mid
+        ov.handle_release()
+        assert not ov.handle_drag(sx, sy)  # drag ends on release
+
+        # a click outside the panel is NOT consumed (camera drag instead).
+        # (the tiny 160x120 test window sits entirely under the fixed-size
+        # panel, so probe a coordinate beyond the panel's extent)
+        assert not ov.handle_press(ov.panel_rect[0] + ov.panel_rect[2] + 50,
+                                   ov.panel_rect[1] + ov.panel_rect[3] + 50)
+    finally:
+        gl_viewer.show_ui = False
+        with gl_viewer.states.lock:
+            gl_viewer.states.paused = False
+        gl_viewer.conf_threshold = 0.0
