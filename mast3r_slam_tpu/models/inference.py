@@ -183,6 +183,14 @@ class MASt3RInference:
             i2j = ident if init_i2j is None else init_i2j.astype(jnp.int32)
             j2i = ident if init_j2i is None else init_j2i.astype(jnp.int32)
             init = jnp.concatenate([i2j, j2i], axis=0)
+            if self.mesh is not None:
+                # warm starts are computed on the FRONTEND chip (pose
+                # projections of keyframe state); replicate them onto the
+                # backend mesh or the matcher jit rejects the mixed-device
+                # inputs (decode outputs live on the mesh)
+                from mast3r_slam_tpu.parallel import sharding as S
+
+                init = S.replicate(init, self.mesh)
         idx_1_to_2, valid_match_2 = matching.match(
             X11, X21, D11, D21, idx_1_to_2_init=init, **self._match_kw()
         )

@@ -577,6 +577,12 @@ class TSDFRefiner:
             X_new = kf.X[blk.kf_id]
             if self.geo_weight > 0:
                 X_ref_cam = lie.act(lie.inv(T_WC)[None], new_w)
+                if self.device is not None:
+                    # computed on the service chip; bring it back as an
+                    # uncommitted host array before blending with the
+                    # frontend-resident keyframe buffers (jit rejects
+                    # mixed-device inputs)
+                    X_ref_cam = jnp.asarray(np.asarray(X_ref_cam))
                 X_new = jnp.where(
                     jnp.asarray(refined_np)[:, None],
                     (1.0 - self.geo_weight) * X_new + self.geo_weight * X_ref_cam,

@@ -17,6 +17,10 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+from mast3r_slam_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -71,3 +71,41 @@ def test_decode_pads_non_divisible_batch_onto_mesh():
     assert set(X1.devices()) <= set(mesh.devices.flat)
     np.testing.assert_allclose(np.asarray(D0), np.asarray(D1), atol=1e-4)
     np.testing.assert_allclose(np.asarray(X0), np.asarray(X1), rtol=5e-2)
+
+
+def test_match_symmetric_warm_start_crosses_device_boundary():
+    """Warm-start inits computed on the frontend chip must be accepted by a
+    mesh-sharded match_symmetric (the disjoint-topology production path:
+    FactorGraph.add_factors builds pose-projected inits from frontend
+    keyframe state, the decode+match runs on the backend sub-mesh)."""
+    from mast3r_slam_tpu.models import mast3r as M
+    from mast3r_slam_tpu.models.inference import MASt3RInference
+    from mast3r_slam_tpu.parallel import sharding as S
+
+    if jax.device_count() < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    devs = jax.devices()
+    frontend = devs[0]
+    mesh = S.make_mesh(2)  # pretend devs[0:2] are the backend sub-mesh
+    cfg = M.tiny_config()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    H, W = 32, 48
+    n_tok = (H // 16) * (W // 16)
+    n = H * W
+    B = 2
+    key = jax.random.PRNGKey(1)
+    feat_i = jax.random.normal(key, (B, n_tok, cfg.enc_embed_dim))
+    feat_j = jax.random.normal(jax.random.fold_in(key, 1), feat_i.shape)
+    pos = M.patch_positions(H // 16, W // 16, B)
+
+    model = MASt3RInference(params, cfg, {"radius": 1, "dilation_max": 2},
+                            mesh=mesh)
+    # frontend-committed warm start, as add_factors produces it
+    import jax.numpy as jnp
+    init = jax.device_put(
+        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (B, n)),
+        frontend)
+    out = model.match_symmetric(feat_i, pos, feat_j, pos, (H, W),
+                                init_i2j=init, init_j2i=init)
+    assert out[0].shape == (B, n)
+    assert bool(jnp.all(out[0] >= 0))
