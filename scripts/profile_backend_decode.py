@@ -91,6 +91,19 @@ def main():
             X1 + 1e-6 * r, X2, D1, D2, idx_1_to_2_init=init, level_step=ls))
         timed(f"match B=2 (level_step={ls})", lambda r: m(X1, r))
 
+    # B=1 comparison: the matcher is gather-bound; batching has no MXU
+    # upside and (measured) a large downside — see match_symmetric
+    m1 = jax.jit(lambda X1, r: matching.match(
+        X1[:1] + 1e-6 * r, X2[:1], D1[:1], D2[:1],
+        idx_1_to_2_init=init[:1], level_step=2))
+
+    def both_rows(r):
+        a = m1(X1, r)
+        b = m1(X1, r + 0.5)  # second direction, pipelined dispatch
+        return (a[0], b[0])
+
+    timed("match 2x B=1 (level_step=2)", both_rows)
+
 
 if __name__ == "__main__":
     main()
