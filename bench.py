@@ -52,7 +52,7 @@ def main():
     from mast3r_slam_tpu.slam.tracker import opt_pose_ray_dist_sim3
 
     H, W = 384, 512
-    cfg = M.MASt3RConfig()
+    cfg = M.MASt3RConfig(head_dtype="bfloat16")  # production config
     log(f"devices: {jax.devices()}")
     log("initializing ViT-L params...")
     params = M.init_params(jax.random.PRNGKey(0), cfg)
@@ -304,11 +304,9 @@ def _e2e_section(env):
         return outs
 
     @jax.jit
-    def backend_decode(params, feat_a, feat_b, idx_warm):
+    def backend_decode_heads(params, feat_a, feat_b):
         # symmetric pair decode for the new keyframe's factors (B=2: both
-        # directions of one candidate pair through the batched decoder).
-        # The i->j direction warm-starts from the tracker's converged
-        # correspondence, as the production add_factors path does.
+        # directions of one candidate pair through the batched decoder)
         d1, d2 = M.decode_pair(
             params, cfg,
             jnp.concatenate([feat_a, feat_b]), jnp.concatenate([pos_k, pos_k]),
@@ -319,10 +317,22 @@ def _e2e_section(env):
         Xb2 = X_shift + 1e-4 * jnp.tanh(rb2["pts3d"])
         Db1 = _norm(D_scene + 0.05 * rb1["desc"])
         Db2 = _norm(D_shift + 0.05 * rb2["desc"])
-        init = jnp.stack([idx_warm,
-                          jnp.arange(n_pix, dtype=jnp.int32)])
-        return matching.match(Xb1, Xb2, Db1, Db2, idx_1_to_2_init=init,
-                              level_step=2)  # production default
+        return Xb1, Xb2, Db1, Db2
+
+    def backend_decode(params, feat_a, feat_b, idx_warm):
+        # per-direction B=1 matcher calls, exactly like the production
+        # match_symmetric (batched matching runs every row to the slowest
+        # row's LM iteration count — 2x B=1 measured 94 vs 132 ms). The
+        # i->j direction warm-starts from the tracker's converged
+        # correspondence, as the production add_factors path does.
+        Xb1, Xb2, Db1, Db2 = backend_decode_heads(params, feat_a, feat_b)
+        init = jnp.stack([idx_warm, jnp.arange(n_pix, dtype=jnp.int32)])
+        rows = [matching.match(Xb1[r:r + 1], Xb2[r:r + 1], Db1[r:r + 1],
+                               Db2[r:r + 1], idx_1_to_2_init=init[r:r + 1],
+                               level_step=2)
+                for r in range(2)]
+        return (jnp.concatenate([r[0] for r in rows]),
+                jnp.concatenate([r[1] for r in rows]))
 
     def backend_event(r, idx_warm):
         # vary inputs per event — the tunnel dedupes identical dispatches

@@ -49,7 +49,8 @@ def build_model(args, cfg):
     if mdl.get("preset", "") == "tiny":  # CPU-testable model for smoke runs
         mcfg = M.tiny_config()
     else:
-        mcfg = M.MASt3RConfig(dtype=mdl.get("dtype", "bfloat16"))
+        mcfg = M.MASt3RConfig(dtype=mdl.get("dtype", "bfloat16"),
+                              head_dtype=mdl.get("head_dtype", "bfloat16"))
     if args.weights:
         params = load_params_npz(args.weights)
         print(f"loaded converted weights: {args.weights}")

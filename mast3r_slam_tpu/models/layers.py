@@ -98,15 +98,28 @@ def conv2d_transpose(p, x, stride):
     """NHWC transposed conv, kernel HWIO ``(kh, kw, c_in, c_out)``; VALID padding
     with ``kh == stride`` (the DPT upsamplers use k=s so output is exactly s*H).
 
-    torch ``ConvTranspose2d`` semantics: ``lax.conv_transpose`` mirrors the
-    kernel spatially (it treats it as a forward-conv kernel), so flip kh/kw
-    to place each input pixel's contribution where torch puts it (verified
-    against torch in tests/test_model_parity.py)."""
+    With ``k == s`` the output blocks of different input pixels never
+    overlap, so torch ``ConvTranspose2d`` semantics
+    (``out[i·s+di, j·s+dj] += x[i,j,ci]·W[di,dj,ci,co]``) reduce EXACTLY to
+    one per-pixel matmul to a ``k·k·c_out`` block followed by a pixel
+    shuffle — a clean MXU contraction instead of ``lax.conv_transpose``'s
+    grad-conv lowering. The general ``k != s`` case keeps the conv_transpose
+    path (kernel spatially flipped, since lax treats it as a forward-conv
+    kernel). Both verified against torch in tests/test_model_parity.py."""
     if isinstance(stride, int):
         stride = (stride, stride)
-    w = p["w"][::-1, ::-1].astype(x.dtype)
-    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-    y = lax.conv_transpose(x, w, stride, "VALID", dimension_numbers=dn)
+    kh, kw, cin, cout = p["w"].shape
+    if (kh, kw) == tuple(stride):
+        b, h, w_, _ = x.shape
+        wmat = p["w"].transpose(2, 0, 1, 3).reshape(cin, kh * kw * cout)
+        y = x.reshape(b, h * w_, cin) @ wmat.astype(x.dtype)
+        y = y.reshape(b, h, w_, kh, kw, cout)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * kh, w_ * kw, cout)
+    else:
+        w = p["w"][::-1, ::-1].astype(x.dtype)
+        dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_transpose(x, w, stride, "VALID", dimension_numbers=dn)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

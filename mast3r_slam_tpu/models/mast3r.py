@@ -48,8 +48,16 @@ class MASt3RConfig:
     dpt_feature_dim: int = 256
     dpt_last_dim: int = 128
     dpt_layer_dims: tuple = (96, 192, 384, 768)
-    # compute dtype for the transformer trunk (heads always run f32)
+    # compute dtype for the transformer trunk
     dtype: str = "bfloat16"
+    # compute dtype for the DPT + catMLP heads. The reference pins its heads
+    # to f32 (mast3r_utils.py decoder(): autocast disabled); "bfloat16"
+    # halves the heads' 551 GFLOP / 3.7 GB-traffic cost on the MXU.
+    # Intermediate activations only — the final regression outputs and the
+    # whole postprocess stay f32. Default f32 = strict reference numerics
+    # (parity tests); production config opts into bf16 (config/base.yaml,
+    # deviation quantified in tests/test_model.py).
+    head_dtype: str = "float32"
 
     @property
     def dpt_hooks(self):
@@ -409,10 +417,12 @@ def downstream_head(p, cfg: MASt3RConfig, dec_out, img_hw):
     """
     H, W = img_hw
     ps = cfg.patch_size
-    raw = dpt_head(p["dpt"], dec_out, img_hw, ps)  # (B, H, W, 4)
+    hd = jnp.dtype(cfg.head_dtype)
+    dec_h = [t.astype(hd) for t in dec_out]
+    raw = dpt_head(p["dpt"], dec_h, img_hw, ps).astype(jnp.float32)
 
-    cat = jnp.concatenate([dec_out[0], dec_out[-1]], axis=-1)
-    local = L.mlp(p["local_feat"], cat)  # (B, N, (D+1)*ps^2)
+    cat = jnp.concatenate([dec_h[0], dec_h[-1]], axis=-1)
+    local = L.mlp(p["local_feat"], cat).astype(jnp.float32)  # (B, N, (D+1)*ps²)
     b, n, _ = local.shape
     local = local.reshape(b, H // ps, W // ps, -1)
     local = L.pixel_shuffle(local, ps)  # (B, H, W, D+two_confs)

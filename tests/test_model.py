@@ -150,3 +150,82 @@ def test_convert_roundtrip_shapes():
             np.asarray(leaf), np.asarray(flat_b[path]), atol=1e-6,
             err_msg=str(path),
         )
+
+
+def test_match_symmetric_per_row_agrees_with_batched():
+    """Single-chip match_symmetric runs the matcher per direction (B=1
+    calls); its results must agree with one batched call — they can differ
+    only through the vmapped while_loop running every row to the slowest
+    row's LM iteration count (extra accepted steps), which on a smooth
+    workload moves almost no correspondences."""
+    import numpy as np
+
+    from mast3r_slam_tpu.models.inference import MASt3RInference
+    from mast3r_slam_tpu.ops import matching
+
+    cfg = M.tiny_config()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    H, W = 32, 48
+    n_tok = (H // 16) * (W // 16)
+    B = 1
+    key = jax.random.PRNGKey(5)
+    feat_i = jax.random.normal(key, (B, n_tok, cfg.enc_embed_dim))
+    feat_j = jax.random.normal(jax.random.fold_in(key, 1), feat_i.shape)
+    pos = M.patch_positions(H // 16, W // 16, B)
+
+    model = MASt3RInference(params, cfg, {"radius": 1, "dilation_max": 2})
+    idx_i2j, idx_j2i, valid_j, valid_i, *_ = model.match_symmetric(
+        feat_i, pos, feat_j, pos, (H, W))
+    assert idx_i2j.shape == (B, H * W)
+
+    # reference batched result over the same decode outputs
+    X, C, D, Q = model.decode_symmetric_batch(feat_i, pos, feat_j, pos,
+                                              (H, W))
+    X11 = jnp.concatenate([X[0], X[2]], axis=0)
+    X21 = jnp.concatenate([X[1], X[3]], axis=0)
+    D11 = jnp.concatenate([D[0], D[2]], axis=0)
+    D21 = jnp.concatenate([D[1], D[3]], axis=0)
+    idx_b, valid_b = matching.match(X11, X21, D11, D21, **model._match_kw())
+
+    got = np.concatenate([np.asarray(idx_i2j), np.asarray(idx_j2i)])
+    agree = (got == np.asarray(idx_b)).mean()
+    assert agree > 0.95, agree
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(valid_j), np.asarray(valid_i)]),
+        np.asarray(valid_b))
+
+
+def test_head_dtype_bf16_deviation_bounded():
+    """config-gated bf16 head intermediates (production default;
+    eval configs pin float32): outputs must stay close to the f32 head —
+    this quantifies the deviation behind model.head_dtype."""
+    import dataclasses
+
+    import numpy as np
+
+    cfg32 = M.tiny_config()
+    cfg16 = dataclasses.replace(cfg32, head_dtype="bfloat16")
+    params = M.init_params(jax.random.PRNGKey(0), cfg32)
+    H, W = 32, 48
+    n_tok = (H // 16) * (W // 16)
+    key = jax.random.PRNGKey(2)
+    feat1 = jax.random.normal(key, (1, n_tok, cfg32.enc_embed_dim))
+    feat2 = jax.random.normal(jax.random.fold_in(key, 1), feat1.shape)
+    pos = M.patch_positions(H // 16, W // 16, 1)
+    d1, _ = M.decode_pair(params, cfg32, feat1, pos, feat2, pos)
+
+    r32 = M.downstream_head(params["head1"], cfg32, d1, (H, W))
+    r16 = M.downstream_head(params["head1"], cfg16, d1, (H, W))
+    # descriptors are L2-normalized (bounded): tight absolute agreement.
+    np.testing.assert_allclose(np.asarray(r16["desc"]),
+                               np.asarray(r32["desc"]), atol=0.05)
+    # geometry passes through expm1(|xyz|): compare relative, bounded by the
+    # bf16 activation noise of the conv stack. Random tiny-scale weights
+    # amplify relative noise (unnormalized activations, near-zero outputs);
+    # measured median ~0.06 here vs ~1e-2-scale expected with trained
+    # full-size weights. The bound pins "same field, bf16-noisy", not parity
+    # (eval configs pin head_dtype: float32 for strict numerics).
+    p32 = np.asarray(r32["pts3d"])
+    p16 = np.asarray(r16["pts3d"])
+    rel = np.abs(p16 - p32) / (np.abs(p32) + 1e-2)
+    assert np.median(rel) < 0.12, np.median(rel)
