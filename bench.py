@@ -167,23 +167,32 @@ def main():
     jax.block_until_ready(out)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
-    # per-frame quality-service batch (async thread in production, but the
-    # chip serializes it with tracking — it belongs in the e2e window)
-    from mast3r_slam_tpu.services.quality_core import compute_quality
+    # quality-service batch (async thread in production, but the chip
+    # serializes it with tracking — it belongs in the e2e window). The
+    # service collects the per-frame jobs and runs ONE batched program per
+    # `quality.batch_size` frames (quality_async._process_group →
+    # compute_quality_batch), so the window dispatches it at that cadence.
+    from mast3r_slam_tpu.services.quality_core import compute_quality_batch
 
-    ew_prev = jnp.zeros((H // 16, W // 16), jnp.float32)
+    QBATCH = 4  # config/base.yaml quality.batch_size
+    ew_prev = jnp.zeros((QBATCH, H // 16, W // 16), jnp.float32)
+    q_chain = jnp.asarray([False] + [True] * (QBATCH - 1))  # same-kf frames
 
-    def quality_step(out):
-        (_, _, _, _, _, _, _, _, _, r_pix, valid_submit, Qk, Ck_avg,
-         t_norm, theta) = out
-        return compute_quality(
-            valid_submit.reshape(-1), r_pix.reshape(-1), Ck_avg.reshape(-1),
-            Qk.reshape(-1), t_norm, theta, ew_prev, H, W, 16,
+    def quality_step(outs):
+        fields = []
+        for out in outs:
+            (_, _, _, _, _, _, _, _, _, r_pix, valid_submit, Qk, Ck_avg,
+             t_norm, theta) = out
+            fields.append((valid_submit.reshape(-1), r_pix.reshape(-1),
+                           Ck_avg.reshape(-1), Qk.reshape(-1), t_norm, theta))
+        stacked = [jnp.stack(col) for col in zip(*fields)]
+        return compute_quality_batch(
+            *stacked, ew_prev, q_chain, H, W, 16,
             # production parameters (config/base.yaml quality.*)
             0.8, 0.15, 0.1745, 0.0, 1.5, 1.0, 1.0, 0.02)
 
     log("compiling quality step...")
-    qres = quality_step(out)
+    qres = quality_step([out] * QBATCH)
     jax.block_until_ready(qres["priority"])
 
     # steady state
@@ -280,33 +289,40 @@ def _e2e_section(env):
     # bucket (grid 64³, 64 ray samples, max_rois=3 blocks, 8k-pixel blocks)
     from mast3r_slam_tpu.ops import lie as _lie
     from mast3r_slam_tpu.services.tsdf_local import (
-        build_block_tsdf_projective, raycast_block)
+        build_blocks_tsdf_projective, raycast_blocks)
 
     X_cam_tsdf = X_kfs[0]
     conf_tsdf = Cavg[0, :, 0]
     T_tsdf = _lie.identity()
     origin_tsdf = jnp.zeros(3)
-    grid_origin = jnp.asarray([-1.5, -1.5, 0.5], jnp.float32)
+    NB = 3  # max_rois_per_kf — batched into ONE program pair per event,
+    #         exactly as TSDFRefiner._refine_blocks dispatches it
+    grid_origins = jnp.asarray([[-1.5, -1.5, 0.5]] * NB, jnp.float32) \
+        + 0.01 * jnp.arange(NB, dtype=jnp.float32)[:, None]
+    voxel_sizes = jnp.full((NB,), 0.05, jnp.float32)
     Bsel = 8192
     sel_tsdf = jnp.asarray(np.arange(Bsel) * (n_pix // Bsel))
-    mask_sel = jnp.ones((Bsel,), bool)
+    pts_tsdf = jnp.tile(X_cam_tsdf[sel_tsdf][None], (NB, 1, 1))
+    mask_sel = jnp.ones((NB, Bsel), bool)
 
     def tsdf_event(r):
-        outs = []
-        for b in range(3):  # max_rois_per_kf
-            tsdf, weight = build_block_tsdf_projective(
-                X_cam_tsdf + 1e-6 * (r + b), conf_tsdf, T_tsdf,
-                grid_origin, 0.05, 0.08, 64, (H, W))
-            new_w, refined = raycast_block(
-                tsdf, weight, X_cam_tsdf[sel_tsdf], mask_sel, origin_tsdf,
-                grid_origin, 0.05, 0.1, 0.01, 0.015, 64)
-            outs.append((new_w, refined))
-        return outs
+        tsdf, weight = build_blocks_tsdf_projective(
+            X_cam_tsdf + 1e-6 * (r + 1), conf_tsdf, T_tsdf,
+            grid_origins, voxel_sizes, 0.08, 64, (H, W))
+        return raycast_blocks(
+            tsdf, weight, pts_tsdf, mask_sel, origin_tsdf,
+            grid_origins, voxel_sizes, 0.1, 0.01, 0.015, 64)
 
     @jax.jit
-    def backend_decode_heads(params, feat_a, feat_b):
-        # symmetric pair decode for the new keyframe's factors (B=2: both
-        # directions of one candidate pair through the batched decoder)
+    def backend_decode(params, feat_a, feat_b, idx_warm):
+        # symmetric pair decode + heads + both matcher directions as ONE
+        # program, exactly like the production match_symmetric fused path
+        # (models/inference.py::_match_symmetric_fused): per-direction B=1
+        # matcher calls inside the program (batched matching runs every row
+        # to the slowest row's LM iteration count — 2x B=1 measured 94 vs
+        # 132 ms), single dispatch per keyframe event. The i->j direction
+        # warm-starts from the tracker's converged correspondence, as the
+        # production add_factors path does.
         d1, d2 = M.decode_pair(
             params, cfg,
             jnp.concatenate([feat_a, feat_b]), jnp.concatenate([pos_k, pos_k]),
@@ -317,15 +333,6 @@ def _e2e_section(env):
         Xb2 = X_shift + 1e-4 * jnp.tanh(rb2["pts3d"])
         Db1 = _norm(D_scene + 0.05 * rb1["desc"])
         Db2 = _norm(D_shift + 0.05 * rb2["desc"])
-        return Xb1, Xb2, Db1, Db2
-
-    def backend_decode(params, feat_a, feat_b, idx_warm):
-        # per-direction B=1 matcher calls, exactly like the production
-        # match_symmetric (batched matching runs every row to the slowest
-        # row's LM iteration count — 2x B=1 measured 94 vs 132 ms). The
-        # i->j direction warm-starts from the tracker's converged
-        # correspondence, as the production add_factors path does.
-        Xb1, Xb2, Db1, Db2 = backend_decode_heads(params, feat_a, feat_b)
         init = jnp.stack([idx_warm, jnp.arange(n_pix, dtype=jnp.int32)])
         rows = [matching.match(Xb1[r:r + 1], Xb2[r:r + 1], Db1[r:r + 1],
                                Db2[r:r + 1], idx_1_to_2_init=init[r:r + 1],
@@ -401,12 +408,17 @@ def _e2e_section(env):
     # keyframes). Real-data cadence measurement replaces this constant when
     # datasets are available.
     KF_EVERY, N_FRAMES = 6, 24
+    QB = 4  # quality.batch_size: one batched quality program per 4 frames
     window_ms = []
     for w in range(3):
         t0 = time.perf_counter()
+        pending_q = []
         for f in range(N_FRAMES):
             out = frame_step(1000 * w + f)
-            qres = quality_step(out)
+            pending_q.append(out)
+            if len(pending_q) == QB:
+                qres = quality_step(pending_q)
+                pending_q = []
             if f % KF_EVERY == KF_EVERY - 1:
                 outb = backend_event(w * N_FRAMES + f, out[1][0])
         jax.block_until_ready((out, qres, outb))

@@ -164,26 +164,42 @@ class MASt3RInference:
         edge, or the pose-projected geometric init for loop-closure edges);
         a missing direction cold-starts from identity.
         """
-        X, C, D, Q = self.decode_symmetric_batch(feat_i, pos_i, feat_j, pos_j, img_hw)
-        b = X.shape[1]
-        Xii, Xji, Xjj, Xij = X[0], X[1], X[2], X[3]
-        Dii, Dji, Djj, Dij = D[0], D[1], D[2], D[3]
-        Qii, Qji, Qjj, Qij = Q[0], Q[1], Q[2], Q[3]
-
-        # Both matching directions stacked batch-first.
-        X11 = jnp.concatenate([Xii, Xjj], axis=0)
-        X21 = jnp.concatenate([Xji, Xij], axis=0)
-        D11 = jnp.concatenate([Dii, Djj], axis=0)
-        D21 = jnp.concatenate([Dji, Dij], axis=0)
-        init = None
-        if init_i2j is not None or init_j2i is not None:
-            n = Xii.shape[1] * Xii.shape[2]
+        b = feat_i.shape[0]
+        n = img_hw[0] * img_hw[1]
+        if self.mesh is None:
+            # Fused single-program path: decode + heads + both matcher
+            # directions in ONE dispatch (_match_symmetric_fused).
             ident = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None],
                                      (b, n))
             i2j = ident if init_i2j is None else init_i2j.astype(jnp.int32)
             j2i = ident if init_j2i is None else init_j2i.astype(jnp.int32)
             init = jnp.concatenate([i2j, j2i], axis=0)
-            if self.mesh is not None:
+            kw_items = tuple(sorted(self._match_kw().items()))
+            idx_1_to_2, valid_match_2, Q = _match_symmetric_fused(
+                self.params, self.cfg, feat_i, pos_i, feat_j, pos_j, init,
+                tuple(img_hw), kw_items)
+            Qii, Qji, Qjj, Qij = Q[0], Q[1], Q[2], Q[3]
+        else:
+            # Mesh path: pair-decode batch shards over the edge axis; the
+            # matcher stays ONE batched call (rows live on different chips,
+            # a single sharded program keeps them parallel).
+            X, C, D, Q = self.decode_symmetric_batch(
+                feat_i, pos_i, feat_j, pos_j, img_hw)
+            Xii, Xji, Xjj, Xij = X[0], X[1], X[2], X[3]
+            Dii, Dji, Djj, Dij = D[0], D[1], D[2], D[3]
+            Qii, Qji, Qjj, Qij = Q[0], Q[1], Q[2], Q[3]
+
+            X11 = jnp.concatenate([Xii, Xjj], axis=0)
+            X21 = jnp.concatenate([Xji, Xij], axis=0)
+            D11 = jnp.concatenate([Dii, Djj], axis=0)
+            D21 = jnp.concatenate([Dji, Dij], axis=0)
+            init = None
+            if init_i2j is not None or init_j2i is not None:
+                ident = jnp.broadcast_to(
+                    jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+                i2j = ident if init_i2j is None else init_i2j.astype(jnp.int32)
+                j2i = ident if init_j2i is None else init_j2i.astype(jnp.int32)
+                init = jnp.concatenate([i2j, j2i], axis=0)
                 # warm starts are computed on the FRONTEND chip (pose
                 # projections of keyframe state); replicate them onto the
                 # backend mesh or the matcher jit rejects the mixed-device
@@ -191,37 +207,14 @@ class MASt3RInference:
                 from mast3r_slam_tpu.parallel import sharding as S
 
                 init = S.replicate(init, self.mesh)
-        kw = self._match_kw()
-        if self.mesh is None and X11.shape[0] > 1:
-            # Per-direction B=1 matcher calls: the matcher is gather-bound
-            # (no MXU upside to batching) and a vmapped LM while_loop runs
-            # every row to the SLOWEST row's iteration count — 2x B=1
-            # measured 94 ms vs 132 ms batched at production shapes. Also
-            # matches the reference exactly, which matches each direction
-            # independently (matching.py driver). Dispatches pipeline, so
-            # the loop costs no extra round trips. Under a mesh the single
-            # batched call stays (rows live on different chips; one sharded
-            # program keeps them parallel).
-            rows = [
-                matching.match(
-                    X11[r:r + 1], X21[r:r + 1], D11[r:r + 1], D21[r:r + 1],
-                    idx_1_to_2_init=None if init is None else init[r:r + 1],
-                    **kw,
-                )
-                for r in range(X11.shape[0])
-            ]
-            idx_1_to_2 = jnp.concatenate([r[0] for r in rows])
-            valid_match_2 = jnp.concatenate([r[1] for r in rows])
-        else:
             idx_1_to_2, valid_match_2 = matching.match(
-                X11, X21, D11, D21, idx_1_to_2_init=init, **kw
+                X11, X21, D11, D21, idx_1_to_2_init=init, **self._match_kw()
             )
 
         idx_i2j = idx_1_to_2[:b]
         idx_j2i = idx_1_to_2[b:]
         valid_j = valid_match_2[:b]
         valid_i = valid_match_2[b:]
-        n = Xii.shape[1] * Xii.shape[2]
         return (
             idx_i2j, idx_j2i, valid_j, valid_i,
             Qii.reshape(b, n, 1), Qjj.reshape(b, n, 1),
@@ -254,8 +247,7 @@ def _mono_core(params, cfg, img, img_hw):
             res1["conf"].reshape(b, h * w, 1))
 
 
-@partial(jax.jit, static_argnames=("cfg", "img_hw"))
-def _decode_symmetric_batch_jit(params, cfg, feat_i, pos_i, feat_j, pos_j, img_hw):
+def _decode_symmetric_core(params, cfg, feat_i, pos_i, feat_j, pos_j, img_hw):
     """(B, N, C) features → stacked [ii, ji, jj, ij] head outputs, one decode."""
     f1 = jnp.concatenate([feat_i, feat_j], axis=0)   # sources
     f2 = jnp.concatenate([feat_j, feat_i], axis=0)   # cross streams
@@ -270,3 +262,43 @@ def _decode_symmetric_batch_jit(params, cfg, feat_i, pos_i, feat_j, pos_j, img_h
         return jnp.stack([a1[:b], a2[:b], a1[b:], a2[b:]], axis=0)
 
     return stack("pts3d"), stack("conf"), stack("desc"), stack("desc_conf")
+
+
+_decode_symmetric_batch_jit = partial(
+    jax.jit, static_argnames=("cfg", "img_hw")
+)(_decode_symmetric_core)
+
+
+@partial(jax.jit, static_argnames=("cfg", "img_hw", "kw_items"))
+def _match_symmetric_fused(params, cfg, feat_i, pos_i, feat_j, pos_j, init,
+                           img_hw, kw_items):
+    """Symmetric pair decode + heads + both matcher directions as ONE XLA
+    program — the whole backend edge-creation compute in a single dispatch.
+
+    Program switches cost ~20 ms on a remote-attached chip
+    (docs/PERFORMANCE.md rule 4), so the staged decode→match→match chain
+    paid two avoidable dispatch gaps per keyframe event. The matcher runs
+    per direction (B=1 ``matching.match`` calls inside the program): a
+    vmapped LM while_loop runs every row to the SLOWEST row's iteration
+    count — 2x B=1 measured 94 ms vs 132 ms batched at production shapes —
+    and this also matches the reference, which matches each direction
+    independently (matching.py driver).
+
+    ``init (2B, N)`` int32 warm-start rows (identity rows where no warm
+    start exists — identical semantics to ``matching.match``'s ``None``).
+    Returns ``(idx_1_to_2 (2B, N), valid (2B, N, 1), Q (4, B, h, w, 1))``.
+    """
+    X, _, D, Q = _decode_symmetric_core(params, cfg, feat_i, pos_i, feat_j,
+                                        pos_j, img_hw)
+    X11 = jnp.concatenate([X[0], X[2]], axis=0)
+    X21 = jnp.concatenate([X[1], X[3]], axis=0)
+    D11 = jnp.concatenate([D[0], D[2]], axis=0)
+    D21 = jnp.concatenate([D[1], D[3]], axis=0)
+    kw = dict(kw_items)
+    rows = [
+        matching.match(X11[r:r + 1], X21[r:r + 1], D11[r:r + 1],
+                       D21[r:r + 1], idx_1_to_2_init=init[r:r + 1], **kw)
+        for r in range(X11.shape[0])
+    ]
+    return (jnp.concatenate([r[0] for r in rows]),
+            jnp.concatenate([r[1] for r in rows]), Q)

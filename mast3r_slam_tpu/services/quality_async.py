@@ -159,14 +159,79 @@ class AsynchronousQualityService:
             batch = self._collect_batch()
             if batch is None:
                 break
-            for job in batch:
+            # One device program per same-shape run of jobs (consecutive
+            # frames share (H, W), so a full batch is the common case).
+            # Per-job fallback on any batch failure: the service must never
+            # die silently.
+            i = 0
+            while i < len(batch):
+                j = i + 1
+                hw = (int(batch[i]["H"]), int(batch[i]["W"]))
+                while (j < len(batch)
+                       and (int(batch[j]["H"]), int(batch[j]["W"])) == hw):
+                    j += 1
+                group = batch[i:j]
+                i = j
                 try:
-                    self._process(job)
-                except Exception as e:  # service must never die silently
+                    if len(group) == 1:
+                        self._process(group[0])
+                    else:
+                        self._process_group(group)
+                except Exception as e:
                     import traceback
 
-                    print(f"[quality] job failed: {e}")
+                    print(f"[quality] batch of {len(group)} failed: {e}")
                     traceback.print_exc()
+                    for job in group:
+                        try:
+                            self._process(job)
+                        except Exception as e2:
+                            print(f"[quality] job failed: {e2}")
+                            traceback.print_exc()
+
+    def _process_group(self, jobs):
+        """All jobs of one same-shape group in ONE device program
+        (:func:`quality_core.compute_quality_batch`) — bit-exact with the
+        sequential per-job path; the EWMA chain across same-keyframe jobs
+        is carried inside the program by its ``lax.scan``."""
+        H, W = int(jobs[0]["H"]), int(jobs[0]["W"])
+        gh, gw = H // self.ps, W // self.ps
+        B = len(jobs)
+
+        chain = np.zeros(B, bool)
+        prev = np.zeros((B, gh, gw), np.float32)
+        with self._lock:
+            for k, job in enumerate(jobs):
+                kf_id = int(job["kf_id"])
+                if k > 0 and kf_id == int(jobs[k - 1]["kf_id"]):
+                    chain[k] = True  # scan carries job k-1's cov_ewma
+                else:
+                    p = self._ewma_state.get(kf_id)
+                    if p is not None:
+                        prev[k] = p
+
+        def dev(x, dtype=None):
+            x = jnp.asarray(x, dtype)
+            return x if self.device is None else jax.device_put(x,
+                                                                self.device)
+
+        res = quality_core.compute_quality_batch(
+            dev(np.stack([j["valid_kf"].reshape(-1) for j in jobs])),
+            dev(np.stack([np.asarray(j["r_pix"]).reshape(-1) for j in jobs]),
+                jnp.float32),
+            dev(np.stack([np.asarray(j["Ck"]).reshape(-1) for j in jobs]),
+                jnp.float32),
+            dev(np.stack([np.asarray(j["Qk"]).reshape(-1) for j in jobs]),
+                jnp.float32),
+            dev(np.asarray([j["t_norm"] for j in jobs]), jnp.float32),
+            dev(np.asarray([j["theta"] for j in jobs]), jnp.float32),
+            dev(prev), dev(chain),
+            H, W, self.ps, self.alpha, self.b0, self.theta0,
+            self.C_thr, self.Q_thr, self.thr_zr, self.thr_zu, self.thr_dc,
+        )
+        res_np = {k: np.asarray(v) for k, v in res.items()}
+        for k, job in enumerate(jobs):
+            self._publish(job, {key: v[k] for key, v in res_np.items()})
 
     def _process(self, job):
         H, W = int(job["H"]), int(job["W"])
@@ -192,15 +257,20 @@ class AsynchronousQualityService:
             H, W, self.ps, self.alpha, self.b0, self.theta0,
             self.C_thr, self.Q_thr, self.thr_zr, self.thr_zu, self.thr_dc,
         )
+        self._publish(job, {k: np.asarray(v) for k, v in res.items()})
+
+    def _publish(self, job, res_np):
+        """Store one job's numpy results + EWMA state and notify consumers."""
+        kf_id = int(job["kf_id"])
         packed = {
             "kf_id": kf_id,
             "frame_id": int(job.get("frame_id", -1)),
-            "delta_cov": np.asarray(res["delta_cov"]),
-            "r": np.asarray(res["r"]),
-            "u": np.asarray(res["u"]),
-            "class_id": np.asarray(res["class_id"]),
-            "priority": np.asarray(res["priority"]),
-            "cov_ewma": np.asarray(res["cov_ewma"]),
+            "delta_cov": res_np["delta_cov"],
+            "r": res_np["r"],
+            "u": res_np["u"],
+            "class_id": res_np["class_id"],
+            "priority": res_np["priority"],
+            "cov_ewma": res_np["cov_ewma"],
         }
         with self._lock:
             self._ewma_state[kf_id] = packed["cov_ewma"]

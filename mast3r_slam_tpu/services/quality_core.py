@@ -110,6 +110,25 @@ def classify(delta_cov, r, u, thr_zr=1.0, thr_zu=1.0, thr_dc=0.02):
     return cls.reshape(shape), p.reshape(shape)
 
 
+def _job_fields(valid_kf, r_pix, Ck, Qk, t_norm, theta,
+                H, W, ps, b0, theta0, C_thr, Q_thr):
+    """Per-job patch-grid fields that do NOT depend on the EWMA state:
+    coverage increment ``inc``, residual median ``r``, uncertainty ``u``."""
+    valid = valid_kf.reshape(H, W)
+    vgrid = (reduce_grid(valid.astype(jnp.float32), ps, method="mean") > 0).astype(
+        jnp.float32
+    )
+    inc = vgrid * view_weight(t_norm, theta, b0, theta0)
+
+    r = reduce_grid(r_pix.reshape(H, W), ps, valid=valid, method="median")
+
+    Cn = jnp.clip(Ck.reshape(H, W) / (C_thr + 1e-8), 0.0, 1.0)
+    Qn = jnp.clip(Qk.reshape(H, W) / (Q_thr + 1e-8), 0.0, 1.0)
+    U = 1.0 - jnp.sqrt(jnp.clip(Cn * Qn, 0.0, 1.0))
+    u = reduce_grid(U, ps, method="median")
+    return inc, r, u
+
+
 @partial(jax.jit, static_argnames=("H", "W", "ps"))
 def compute_quality(valid_kf, r_pix, Ck, Qk, t_norm, theta, cov_ewma_prev,
                     H, W, ps, alpha, b0, theta0, C_thr, Q_thr,
@@ -119,21 +138,56 @@ def compute_quality(valid_kf, r_pix, Ck, Qk, t_norm, theta, cov_ewma_prev,
     Returns dict of patch-grid arrays:
     ``delta_cov, r, u, class_id, priority, cov_ewma`` each (H//ps, W//ps).
     """
-    valid = valid_kf.reshape(H, W)
-    vgrid = (reduce_grid(valid.astype(jnp.float32), ps, method="mean") > 0).astype(
-        jnp.float32
-    )
-    inc = vgrid * view_weight(t_norm, theta, b0, theta0)
+    inc, r, u = _job_fields(valid_kf, r_pix, Ck, Qk, t_norm, theta,
+                            H, W, ps, b0, theta0, C_thr, Q_thr)
     ew, dc = ema_delta(cov_ewma_prev, inc, alpha)
-
-    r = reduce_grid(r_pix.reshape(H, W), ps, valid=valid, method="median")
-
-    Cn = jnp.clip(Ck.reshape(H, W) / (C_thr + 1e-8), 0.0, 1.0)
-    Qn = jnp.clip(Qk.reshape(H, W) / (Q_thr + 1e-8), 0.0, 1.0)
-    U = 1.0 - jnp.sqrt(jnp.clip(Cn * Qn, 0.0, 1.0))
-    u = reduce_grid(U, ps, method="median")
-
     cls, pri = classify(dc, r, u, thr_zr, thr_zu, thr_dc)
+    return {
+        "delta_cov": dc,
+        "r": r,
+        "u": u,
+        "class_id": cls,
+        "priority": pri,
+        "cov_ewma": ew,
+    }
+
+
+@partial(jax.jit, static_argnames=("H", "W", "ps"))
+def compute_quality_batch(valid_kf, r_pix, Ck, Qk, t_norm, theta,
+                          prev_init, chain, H, W, ps, alpha, b0, theta0,
+                          C_thr, Q_thr, thr_zr, thr_zu, thr_dc):
+    """Batch of B quality jobs in submission order as ONE device program.
+
+    Bit-exact with running :func:`compute_quality` per job sequentially:
+    the per-job patch reductions (the heavy part) vmap over the batch, and
+    the EWMA coverage chain is a ``lax.scan`` so job ``i`` sees job
+    ``i-1``'s ``cov_ewma`` whenever ``chain[i]`` is set (same keyframe as
+    the previous job in the batch — consecutive frames usually are).
+    ``prev_init[i]`` is the service's stored EWMA state, used when
+    ``chain[i]`` is False; ``chain[0]`` must be False.
+
+    All leading dims are B; returns the same dict as
+    :func:`compute_quality` with a leading batch axis. One program per
+    batch instead of one per frame — on a remote-attached chip the
+    per-program dispatch dominates this kernel's device time.
+    """
+    inc, r, u = jax.vmap(
+        lambda v, rp, c, q, tn, th: _job_fields(
+            v, rp, c, q, tn, th, H, W, ps, b0, theta0, C_thr, Q_thr)
+    )(valid_kf, r_pix, Ck, Qk, t_norm, theta)
+
+    def step(carry, x):
+        inc_i, prev_i, chain_i = x
+        prev = jnp.where(chain_i, carry, prev_i)
+        ew, dc = ema_delta(prev, inc_i, alpha)
+        return ew, (ew, dc)
+
+    _, (ew, dc) = jax.lax.scan(
+        step, jnp.zeros_like(prev_init[0]), (inc, prev_init, chain))
+
+    cls, pri = jax.vmap(
+        lambda d, r_, u_: classify(d, r_, u_, thr_zr, thr_zu, thr_dc)
+    )(dc, r, u)
     return {
         "delta_cov": dc,
         "r": r,

@@ -208,6 +208,40 @@ def raycast_block(tsdf, weight, points, mask, origin_cam, grid_origin,
     return new_points, ok
 
 
+@partial(jax.jit, static_argnames=("grid_dim", "img_size"))
+def build_blocks_tsdf_projective(X_cam, conf, T_WC, grid_origins,
+                                 voxel_sizes, trunc, grid_dim, img_size):
+    """All of ONE keyframe's refine blocks built in a single program.
+
+    The per-KF scheduler emits up to ``max_rois_per_kf`` blocks that share
+    the keyframe snapshot (``X_cam, conf, T_WC``) and differ only in
+    ``grid_origins (B, 3)`` / ``voxel_sizes (B,)`` — vmapping the projective
+    build over those turns 2·B device programs per keyframe event into 2
+    (dispatch dominates these kernels on a remote-attached chip).
+    Returns ``(tsdf (B,G,G,G), weight (B,G,G,G))``.
+    """
+    return jax.vmap(
+        lambda o, v: build_block_tsdf_projective(
+            X_cam, conf, T_WC, o, v, trunc, grid_dim, img_size)
+    )(grid_origins, voxel_sizes)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def raycast_blocks(tsdf, weight, points, mask, origin_cam, grid_origins,
+                   voxel_sizes, band, min_weight, max_displacement,
+                   n_samples):
+    """Batched :func:`raycast_block` over B same-keyframe blocks.
+
+    ``points (B, P, 3)`` / ``mask (B, P)`` are each block's pixel bucket
+    padded to a common P; ``origin_cam`` is shared (one keyframe).
+    """
+    return jax.vmap(
+        lambda t, w, p, m, o, v: raycast_block(
+            t, w, p, m, origin_cam, o, v, band, min_weight,
+            max_displacement, n_samples)
+    )(tsdf, weight, points, mask, grid_origins, voxel_sizes)
+
+
 # ---------------------------------------------------------------------------
 # Host-side scheduling structures
 # ---------------------------------------------------------------------------
@@ -460,47 +494,83 @@ class TSDFRefiner:
             self._retry_counts[kf] = attempts
 
     def run(self):
+        pending = None  # different-keyframe task popped while grouping
         while not self.stop_flag.is_set():
             self._pump_retries()
-            try:
-                key, blk = self.task_q.get(timeout=0.25)
-            except queue.Empty:
-                continue
-            self.registry.mark_running(key)
+            if pending is not None:
+                first, pending = pending, None
+            else:
+                try:
+                    first = self.task_q.get(timeout=0.25)
+                except queue.Empty:
+                    continue
+            # Group the queued same-keyframe siblings (the scheduler enqueues
+            # a keyframe's blocks back-to-back) — they run as one batched
+            # device program pair in _refine_blocks.
+            group = [first]
+            while len(group) < self.max_rois:
+                try:
+                    nxt = self.task_q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt[1].kf_id != first[1].kf_id:
+                    pending = nxt
+                    break
+                group.append(nxt)
+            for key, _ in group:
+                self.registry.mark_running(key)
             t0 = time.monotonic()
             try:
-                ok = self._refine_block(blk)
+                oks = self._refine_blocks([blk for _, blk in group])
             except Exception as e:
                 import traceback
 
-                print(f"[tsdf-refine] block failed: {e}")
+                print(f"[tsdf-refine] block batch failed: {e}")
                 traceback.print_exc()
-                ok = False
+                oks = [False] * len(group)
             self.stats["total_processing_time"] += time.monotonic() - t0
-            self.registry.mark_done(key, ok)
-            if ok:
-                self.stats["refined_blocks"] += 1
-                self._retry_counts.pop(blk.kf_id, None)
-            else:
-                self.stats["rejected_blocks"] += 1
-                attempts = self._retry_counts.get(blk.kf_id, 0) + 1
-                if attempts <= self.max_retries and blk.kf_id not in self._retry:
-                    backoff = self.retry_backoff_s * (2 ** (attempts - 1))
-                    self._retry[blk.kf_id] = (time.monotonic() + backoff,
-                                              attempts)
+            for (key, blk), ok in zip(group, oks):
+                self.registry.mark_done(key, ok)
+                if ok:
+                    self.stats["refined_blocks"] += 1
+                    self._retry_counts.pop(blk.kf_id, None)
+                else:
+                    self.stats["rejected_blocks"] += 1
+                    attempts = self._retry_counts.get(blk.kf_id, 0) + 1
+                    if (attempts <= self.max_retries
+                            and blk.kf_id not in self._retry):
+                        backoff = self.retry_backoff_s * (2 ** (attempts - 1))
+                        self._retry[blk.kf_id] = (time.monotonic() + backoff,
+                                                  attempts)
 
     def _refine_block(self, blk: PatchBlock) -> bool:
+        return self._refine_blocks([blk])[0]
+
+    def _refine_blocks(self, blks) -> list:
         """Snapshot → local TSDF build → raycast → guarded fusion write-back
-        (reference tsdf_refine.py:667-835)."""
+        (reference tsdf_refine.py:667-835) for ALL of one keyframe's blocks.
+
+        The blocks share the keyframe snapshot, so the builds and raycasts
+        run as ONE batched device program each
+        (:func:`build_blocks_tsdf_projective` / :func:`raycast_blocks`) —
+        2 dispatches per keyframe event instead of 2 per block. Write-backs
+        stay sequential per block (pixel masks are disjoint by construction:
+        ``_select_blocks`` partitions the candidate patches), tracking the
+        version our own writes bump; an external write between write-backs
+        conservatively rejects the remaining blocks exactly like the
+        per-block path did.
+        """
         kf = self.keyframes
+        kf_id = blks[0].kf_id
+        ok_out = [False] * len(blks)
         with kf.lock:
-            if blk.kf_id >= len(kf):
-                return False
-            version = int(kf.version[blk.kf_id])
-            X = jnp.asarray(kf.X[blk.kf_id])           # (N, 3) cam frame
-            C = np.asarray(kf.C[blk.kf_id][:, 0])
-            n_fuse = max(int(kf.N[blk.kf_id]), 1)
-            T_WC = jnp.asarray(kf.T_WC[blk.kf_id])
+            if kf_id >= len(kf):
+                return ok_out
+            version = int(kf.version[kf_id])
+            X = jnp.asarray(kf.X[kf_id])               # (N, 3) cam frame
+            C = np.asarray(kf.C[kf_id][:, 0])
+            n_fuse = max(int(kf.N[kf_id]), 1)
+            T_WC = jnp.asarray(kf.T_WC[kf_id])
         if self.device is not None:
             X = jax.device_put(X, self.device)
             T_WC = jax.device_put(T_WC, self.device)
@@ -510,90 +580,113 @@ class TSDFRefiner:
         conf = jnp.asarray(np.clip(C / n_fuse, 0.0, None))
         if self.device is not None:
             conf = jax.device_put(conf, self.device)
-
-        mask = blk.pixel_mask
-        sel = np.where(mask)[0]
-        if sel.size == 0:
-            return False
         Xw_np = np.asarray(Xw)
-        roi_pts = Xw_np[sel]
-        finite = np.isfinite(roi_pts).all(axis=1)
-        if finite.mean() < 0.5:
-            return False
-        lo = np.percentile(roi_pts[finite], 5, axis=0) - self.trunc
-        hi = np.percentile(roi_pts[finite], 95, axis=0) + self.trunc
-        extent = float(np.max(hi - lo))
+
+        # host-side per-block ROI fit; blocks failing the sanity gates drop
+        prep = []  # (slot, sel, grid_origin_lo, voxel)
+        for s, blk in enumerate(blks):
+            sel = np.where(blk.pixel_mask)[0]
+            if sel.size == 0:
+                continue
+            roi_pts = Xw_np[sel]
+            finite = np.isfinite(roi_pts).all(axis=1)
+            if finite.mean() < 0.5:
+                continue
+            lo = np.percentile(roi_pts[finite], 5, axis=0) - self.trunc
+            hi = np.percentile(roi_pts[finite], 95, axis=0) + self.trunc
+            extent = float(np.max(hi - lo))
+            voxel = max(self.voxel_size, extent / self.max_grid_dim)
+            prep.append((s, sel, lo.astype(np.float32), voxel))
+        if not prep:
+            return ok_out
+
         G = self.max_grid_dim
-        voxel = max(self.voxel_size, extent / G)
-        grid_origin = jnp.asarray(lo, jnp.float32)
+        B = len(prep)
+        # Raycast only each block's pixels, compacted to one power-of-two
+        # bucket shared across the batch (the dense call paid 196k×S×8
+        # trilinear gathers for blocks touching a small frame fraction).
+        P = 256
+        while P < max(p[1].size for p in prep):
+            P *= 2
+        sel_pad = np.zeros((B, P), np.int64)
+        mask_pad = np.zeros((B, P), bool)
+        origins = np.zeros((B, 3), np.float32)
+        voxels = np.zeros((B,), np.float32)
+        for b, (_, sel, lo, voxel) in enumerate(prep):
+            sel_pad[b, :sel.size] = sel
+            mask_pad[b, :sel.size] = True
+            origins[b] = lo
+            voxels[b] = voxel
+        grid_origins = jnp.asarray(origins)
+        voxel_sizes = jnp.asarray(voxels)
 
         # Projective voxel-parallel build (gather-only; the sample-scatter
         # kernel serializes on colliding voxel indices — seconds per block
         # at production scale).
-        tsdf, weight = build_block_tsdf_projective(
-            X, conf, T_WC, grid_origin, voxel, self.trunc, G,
+        tsdf, weight = build_blocks_tsdf_projective(
+            X, conf, T_WC, grid_origins, voxel_sizes, self.trunc, G,
             (kf.h, kf.w),
         )
-        # Raycast only the block's pixels, compacted to a power-of-two
-        # bucket: the dense call paid 196k×S×8 trilinear gathers for a
-        # block that touches a small fraction of the frame.
-        B = 256
-        while B < sel.size:
-            B *= 2
-        sel_pad = np.zeros(B, np.int64)
-        sel_pad[:sel.size] = sel
-        mask_pad = np.zeros(B, bool)
-        mask_pad[:sel.size] = True
         sel_j = jnp.asarray(sel_pad)
-        Xw_sel = Xw[sel_j]
-        new_sel, refined_sel = raycast_block(
-            tsdf, weight, Xw_sel, jnp.asarray(mask_pad), origin, grid_origin,
-            voxel, 0.1, self.min_weight, self.max_disp, self.ray_samples,
+        Xw_sel = Xw[sel_j]                              # (B, P, 3)
+        new_sel, refined_sel = raycast_blocks(
+            tsdf, weight, Xw_sel, jnp.asarray(mask_pad), origin,
+            grid_origins, voxel_sizes, 0.1, self.min_weight, self.max_disp,
+            self.ray_samples,
         )
-        refined_sel_np = np.asarray(refined_sel)[:sel.size]
-        refined_np = np.zeros(Xw_np.shape[0], bool)
-        refined_np[sel] = refined_sel_np
-        hits = int(refined_sel_np.sum())
-        if hits < self.min_hit_rate * sel.size:
-            return False
-        new_w = None
-        if self.geo_weight > 0:
-            new_w = Xw.at[sel_j].set(
-                jnp.where(refined_sel[:, None], new_sel, Xw_sel))
+        refined_all = np.asarray(refined_sel)           # (B, P)
 
-        # Conservative fusion: confidence boost (+ optional geometric blend),
-        # iff the keyframe version is unchanged.
-        with kf.lock:
-            if int(kf.version[blk.kf_id]) != version:
-                self.stats["version_conflicts"] += 1
-                return False
-            Cdev = kf.C[blk.kf_id]
-            boost = jnp.where(
-                jnp.asarray(refined_np)[:, None],
-                jnp.minimum(Cdev + self.conf_boost * n_fuse,
-                            self.conf_max * n_fuse),
-                Cdev,
-            )
-            X_new = kf.X[blk.kf_id]
+        # Conservative fusion per block: confidence boost (+ optional
+        # geometric blend), iff the keyframe version is unchanged since the
+        # snapshot (modulo our own committed sibling-block writes).
+        for b, (s, sel, _, _) in enumerate(prep):
+            refined_sel_np = refined_all[b, :sel.size]
+            hits = int(refined_sel_np.sum())
+            if hits < self.min_hit_rate * sel.size:
+                continue
+            refined_np = np.zeros(Xw_np.shape[0], bool)
+            refined_np[sel] = refined_sel_np
+            new_w = None
             if self.geo_weight > 0:
-                X_ref_cam = lie.act(lie.inv(T_WC)[None], new_w)
-                if self.device is not None:
-                    # computed on the service chip; bring it back as an
-                    # uncommitted host array before blending with the
-                    # frontend-resident keyframe buffers (jit rejects
-                    # mixed-device inputs)
-                    X_ref_cam = jnp.asarray(np.asarray(X_ref_cam))
-                X_new = jnp.where(
+                new_w = Xw.at[sel_j[b]].set(
+                    jnp.where(refined_sel[b][:, None], new_sel[b], Xw_sel[b]))
+
+            with kf.lock:
+                if int(kf.version[kf_id]) != version:
+                    self.stats["version_conflicts"] += 1
+                    continue
+                Cdev = kf.C[kf_id]
+                boost = jnp.where(
                     jnp.asarray(refined_np)[:, None],
-                    (1.0 - self.geo_weight) * X_new + self.geo_weight * X_ref_cam,
-                    X_new,
+                    jnp.minimum(Cdev + self.conf_boost * n_fuse,
+                                self.conf_max * n_fuse),
+                    Cdev,
                 )
-            ok = kf.update_pointmap_inplace(blk.kf_id, X_new, boost,
-                                            expected_version=version)
-        if ok:
-            self.stats["points_refined"] += hits
-            self.stats["conf_boosted_kfs"] += 1
-        return bool(ok)
+                X_new = kf.X[kf_id]
+                if self.geo_weight > 0:
+                    X_ref_cam = lie.act(lie.inv(T_WC)[None], new_w)
+                    if self.device is not None:
+                        # computed on the service chip; bring it back as an
+                        # uncommitted host array before blending with the
+                        # frontend-resident keyframe buffers (jit rejects
+                        # mixed-device inputs)
+                        X_ref_cam = jnp.asarray(np.asarray(X_ref_cam))
+                    X_new = jnp.where(
+                        jnp.asarray(refined_np)[:, None],
+                        (1.0 - self.geo_weight) * X_new
+                        + self.geo_weight * X_ref_cam,
+                        X_new,
+                    )
+                ok = kf.update_pointmap_inplace(kf_id, X_new, boost,
+                                                expected_version=version)
+                if ok:
+                    # our write bumped the version; siblings remain valid
+                    version = int(kf.version[kf_id])
+            if ok:
+                self.stats["points_refined"] += hits
+                self.stats["conf_boosted_kfs"] += 1
+                ok_out[s] = True
+        return ok_out
 
     # -- shutdown ------------------------------------------------------------
 

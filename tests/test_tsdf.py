@@ -253,3 +253,47 @@ def test_projective_build_raycast_recovers_plane():
     err_before = np.abs(noisy[sel][ok][:, 2] - 1.0)
     err_after = np.abs(new_pts[ok][:, 2] - 1.0)
     assert err_after.mean() < err_before.mean() * 0.7
+
+
+def test_batched_build_raycast_match_per_block():
+    """build_blocks_tsdf_projective / raycast_blocks (one program per
+    keyframe event) are bit-exact with per-block calls."""
+    from mast3r_slam_tpu.ops import lie
+    from mast3r_slam_tpu.services.tsdf_local import (
+        build_block_tsdf_projective,
+        build_blocks_tsdf_projective,
+        raycast_block,
+        raycast_blocks,
+    )
+
+    X, (H, W) = _plane_pointmap()
+    conf = jnp.asarray(RNG.uniform(0.5, 1.0, H * W).astype(np.float32))
+    T_WC = lie.identity()
+    G, S = 16, 16
+    origins = jnp.asarray([[-0.5, -0.5, 0.6], [-0.3, -0.4, 0.7]],
+                          jnp.float32)
+    voxels = jnp.asarray([0.06, 0.05], jnp.float32)
+
+    tsdf_b, w_b = build_blocks_tsdf_projective(
+        X, conf, T_WC, origins, voxels, 0.1, G, (H, W))
+
+    P = 64
+    pts = jnp.asarray(
+        np.stack([np.asarray(X)[RNG.integers(0, H * W, P)] for _ in range(2)])
+    )
+    mask = jnp.asarray(RNG.random((2, P)) > 0.1)
+    origin_cam = jnp.zeros(3)
+    new_b, ok_b = raycast_blocks(tsdf_b, w_b, pts, mask, origin_cam,
+                                 origins, voxels, 0.1, 0.01, 0.05, S)
+
+    for b in range(2):
+        tsdf_1, w_1 = build_block_tsdf_projective(
+            X, conf, T_WC, origins[b], voxels[b], 0.1, G, (H, W))
+        np.testing.assert_array_equal(np.asarray(tsdf_b[b]),
+                                      np.asarray(tsdf_1))
+        np.testing.assert_array_equal(np.asarray(w_b[b]), np.asarray(w_1))
+        new_1, ok_1 = raycast_block(tsdf_1, w_1, pts[b], mask[b], origin_cam,
+                                    origins[b], voxels[b], 0.1, 0.01, 0.05, S)
+        np.testing.assert_array_equal(np.asarray(ok_b[b]), np.asarray(ok_1))
+        np.testing.assert_allclose(np.asarray(new_b[b]), np.asarray(new_1),
+                                   atol=1e-6)
