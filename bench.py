@@ -97,7 +97,7 @@ def main():
                                               quality_job_tensors)
 
     @jax.jit
-    def track_step(params, img_f, feat_k, pos_k, T_WCk, X_k, C_k, N_k):
+    def track_step(params, img_f, feat_k, pos_k, T_WCk, X_k, C_k, N_k, r):
         # One XLA program per frame with the SAME stage list as the
         # production ``track_core`` (its post-matcher stages are the shared
         # helpers imported above). The only deviation is the synthetic
@@ -105,8 +105,12 @@ def main():
         # because random weights produce random correspondences, and TPU
         # gather cost is dominated by index locality (docs/PERFORMANCE.md).
         # Program switches cost ~20 ms each on a tunneled chip, so one
-        # program per frame matters.
-        feat_f, pos_f = M.encode_image(params, cfg, img_f)
+        # program per frame matters. ``r`` varies the input per call (the
+        # tunnel dedupes identical dispatches) INSIDE the program — done
+        # eagerly it was 3 extra tiny dispatches per frame, each costing a
+        # ~10-20 ms tunnel slot (production varies by genuinely new camera
+        # images, so it pays none of this).
+        feat_f, pos_f = M.encode_image(params, cfg, img_f + 1e-6 * (r + 1.0))
         d1, d2 = M.decode_pair(params, cfg, feat_f, pos_f, feat_k, pos_k)
         res_ff = M.downstream_head(params["head1"], cfg, d1, (H, W))
         res_kf = M.downstream_head(params["head2"], cfg, d2, (H, W))
@@ -157,9 +161,10 @@ def main():
     jax.block_until_ready(feat_k)
 
     def frame_step(r):
-        # vary an input per call — the tunnel dedupes identical dispatches
-        return track_step(params, img_f + 1e-6 * (r + 1), feat_k, pos_k,
-                          T_WCk, X_kf, C_kf, N_kf)
+        # big operands stay jit ARGUMENTS (closures capture them as lowering
+        # constants — a 2.75 GB literal blob for the ViT-L params)
+        return track_step(params, img_f, feat_k, pos_k, T_WCk, X_kf, C_kf,
+                          N_kf, jnp.asarray(float(r), jnp.float32))
 
     log("compiling track_step (first call)...")
     t0 = time.perf_counter()
@@ -178,7 +183,11 @@ def main():
     ew_prev = jnp.zeros((QBATCH, H // 16, W // 16), jnp.float32)
     q_chain = jnp.asarray([False] + [True] * (QBATCH - 1))  # same-kf frames
 
+    @jax.jit
     def quality_step(outs):
+        # ONE program per batch including the stacking glue (production
+        # stacks on the host in quality_async._process_group — doing it
+        # with eager device ops here cost ~8 dispatches per batch)
         fields = []
         for out in outs:
             (_, _, _, _, _, _, _, _, _, r_pix, valid_submit, Qk, Ck_avg,
@@ -288,8 +297,7 @@ def _e2e_section(env):
     # build + raycast over the block's pixels compacted to a power-of-two
     # bucket (grid 64³, 64 ray samples, max_rois=3 blocks, 8k-pixel blocks)
     from mast3r_slam_tpu.ops import lie as _lie
-    from mast3r_slam_tpu.services.tsdf_local import (
-        build_blocks_tsdf_projective, raycast_blocks)
+    from mast3r_slam_tpu.services.tsdf_local import refine_blocks_core
 
     X_cam_tsdf = X_kfs[0]
     conf_tsdf = Cavg[0, :, 0]
@@ -301,20 +309,22 @@ def _e2e_section(env):
         + 0.01 * jnp.arange(NB, dtype=jnp.float32)[:, None]
     voxel_sizes = jnp.full((NB,), 0.05, jnp.float32)
     Bsel = 8192
-    sel_tsdf = jnp.asarray(np.arange(Bsel) * (n_pix // Bsel))
-    pts_tsdf = jnp.tile(X_cam_tsdf[sel_tsdf][None], (NB, 1, 1))
+    sel_tsdf = jnp.tile(
+        jnp.asarray(np.arange(Bsel) * (n_pix // Bsel))[None], (NB, 1))
     mask_sel = jnp.ones((NB, Bsel), bool)
 
-    def tsdf_event(r):
-        tsdf, weight = build_blocks_tsdf_projective(
-            X_cam_tsdf + 1e-6 * (r + 1), conf_tsdf, T_tsdf,
-            grid_origins, voxel_sizes, 0.08, 64, (H, W))
-        return raycast_blocks(
-            tsdf, weight, pts_tsdf, mask_sel, origin_tsdf,
-            grid_origins, voxel_sizes, 0.1, 0.01, 0.015, 64)
+    @jax.jit
+    def tsdf_event(X_cam_tsdf, conf_tsdf, r):
+        # the whole event's build+gather+raycast is ONE program, exactly as
+        # TSDFRefiner._refine_blocks dispatches it (refine_blocks_core)
+        Xv = X_cam_tsdf + 1e-6 * (r + 1.0)
+        return refine_blocks_core(
+            Xv, Xv, conf_tsdf, T_tsdf, sel_tsdf, mask_sel,
+            grid_origins, voxel_sizes, 0.08, 0.1, 0.01, 0.015, 64, (H, W),
+            64)
 
     @jax.jit
-    def backend_decode(params, feat_a, feat_b, idx_warm):
+    def backend_decode(params, feat_a, feat_b_base, rj, idx_warm):
         # symmetric pair decode + heads + both matcher directions as ONE
         # program, exactly like the production match_symmetric fused path
         # (models/inference.py::_match_symmetric_fused): per-direction B=1
@@ -322,7 +332,9 @@ def _e2e_section(env):
         # to the slowest row's LM iteration count — 2x B=1 measured 94 vs
         # 132 ms), single dispatch per keyframe event. The i->j direction
         # warm-starts from the tracker's converged correspondence, as the
-        # production add_factors path does.
+        # production add_factors path does. Input variation (rj) lives
+        # inside the program — eager variation cost extra dispatch slots.
+        feat_b = feat_b_base + 1e-6 * (rj + 1.0)
         d1, d2 = M.decode_pair(
             params, cfg,
             jnp.concatenate([feat_a, feat_b]), jnp.concatenate([pos_k, pos_k]),
@@ -333,7 +345,8 @@ def _e2e_section(env):
         Xb2 = X_shift + 1e-4 * jnp.tanh(rb2["pts3d"])
         Db1 = _norm(D_scene + 0.05 * rb1["desc"])
         Db2 = _norm(D_shift + 0.05 * rb2["desc"])
-        init = jnp.stack([idx_warm, jnp.arange(n_pix, dtype=jnp.int32)])
+        init = jnp.stack([idx_warm,
+                          jnp.arange(n_pix, dtype=jnp.int32)])
         rows = [matching.match(Xb1[r:r + 1], Xb2[r:r + 1], Db1[r:r + 1],
                                Db2[r:r + 1], idx_1_to_2_init=init[r:r + 1],
                                level_step=2)
@@ -341,24 +354,36 @@ def _e2e_section(env):
         return (jnp.concatenate([r[0] for r in rows]),
                 jnp.concatenate([r[1] for r in rows]))
 
-    def backend_event(r, idx_warm):
-        # vary inputs per event — the tunnel dedupes identical dispatches
-        idx_new, valid_new = backend_decode(params, feat_k,
-                                            feat_f2 + 1e-6 * (r + 1),
-                                            idx_warm)
+    @jax.jit
+    def premeas_event(X_kfs, Cavg, Q2, idx_new, valid_new):
         # premeas for the new edges (2-bucket, as FactorGraph pads the 1-2
-        # edges a keyframe event actually adds)
+        # edges a keyframe event actually adds) — input glue inside the
+        # program, one dispatch like production's add_factors premeas. Big
+        # operands are ARGUMENTS (jit closures capture them as constants).
         idx2 = jnp.tile(idx_new[:1], (2, 1))
-        meas_new = FG.precompute_meas_rays(
+        return FG.precompute_meas_rays(
             X_kfs, Cavg, ii[:2], jj[:2], idx2,
-            jnp.tile(valid_new[:1], (2, 1, 1)), Q_e[:2], 0.0, 1.5)
-        # production global BA solve over the standing graph
-        T_in = jax.vmap(lie.retr)(T_kfs, jnp.full((cap, 7), 1e-4 * (r + 1)))
-        T_out = FG.gauss_newton_rays(
-            T_in, meas, ii, jj, mask_e, free,
-            0.003, 10.0, 10, 1e-8)
+            jnp.tile(valid_new[:1], (2, 1, 1)), Q2, 0.0, 1.5)
+
+    @jax.jit
+    def solve_event(meas, rj):
+        # production global BA solve over the standing graph; the input
+        # pose perturbation (the tunnel dedupes identical dispatches) runs
+        # inside the program — the eager vmap(retr) was ~60 tiny dispatches.
+        # The ~1 GB meas cache is an ARGUMENT, not a captured constant.
+        T_in = jax.vmap(lie.retr)(T_kfs,
+                                  jnp.full((cap, 7), 1e-4) * (rj + 1.0))
+        return FG.gauss_newton_rays(
+            T_in, meas, ii, jj, mask_e, free, 0.003, 10.0, 10, 1e-8)
+
+    def backend_event(r, idx_warm):
+        rj = jnp.asarray(float(r), jnp.float32)
+        idx_new, valid_new = backend_decode(params, feat_k, feat_f2, rj,
+                                            idx_warm)
+        meas_new = premeas_event(X_kfs, Cavg, Q_e[:2], idx_new, valid_new)
+        T_out = solve_event(meas, rj)
         # the TSDF refine blocks this keyframe event schedules
-        tsdf_out = tsdf_event(r)
+        tsdf_out = tsdf_event(X_cam_tsdf, conf_tsdf, rj)
         return T_out, meas_new, tsdf_out
 
     feat_f2, _ = ek(params, img_f)
@@ -379,24 +404,21 @@ def _e2e_section(env):
     # per-stage split (diagnosis log; the combined number above is what the
     # e2e window pays)
     t0 = time.perf_counter()
-    idx_new, valid_new = backend_decode(params, feat_k, feat_f2 + 2e-6,
+    idx_new, valid_new = backend_decode(params, feat_k, feat_f2,
+                                        jnp.asarray(7.0, jnp.float32),
                                         idx_track)
     jax.block_until_ready(idx_new)
     log(f"  stage decode+match: {(time.perf_counter() - t0) * 1e3:.1f} ms")
     t0 = time.perf_counter()
-    meas_new = FG.precompute_meas_rays(
-        X_kfs, Cavg, ii[:2], jj[:2], jnp.tile(idx_new[:1], (2, 1)),
-        jnp.tile(valid_new[:1], (2, 1, 1)), Q_e[:2], 0.0, 1.5)
-    jax.block_until_ready(meas_new)
+    jax.block_until_ready(
+        premeas_event(X_kfs, Cavg, Q_e[:2], idx_new, valid_new))
     log(f"  stage premeas-new: {(time.perf_counter() - t0) * 1e3:.1f} ms")
     t0 = time.perf_counter()
-    jax.block_until_ready(tsdf_event(99))
+    jax.block_until_ready(
+        tsdf_event(X_cam_tsdf, conf_tsdf, jnp.asarray(99.0, jnp.float32)))
     log(f"  stage tsdf-refine x3: {(time.perf_counter() - t0) * 1e3:.1f} ms")
     t0 = time.perf_counter()
-    T_out = FG.gauss_newton_rays(
-        jax.vmap(lie.retr)(T_kfs, jnp.full((cap, 7), 3e-4)), meas, ii, jj,
-        mask_e, free, 0.003, 10.0, 10, 1e-8)
-    jax.block_until_ready(T_out)
+    jax.block_until_ready(solve_event(meas, jnp.asarray(3.0, jnp.float32)))
     log(f"  stage BA solve(10): {(time.perf_counter() - t0) * 1e3:.1f} ms")
 
     # ---- e2e window: tracking with keyframe-cadenced backend events -------
@@ -410,7 +432,10 @@ def _e2e_section(env):
     KF_EVERY, N_FRAMES = 6, 24
     QB = 4  # quality.batch_size: one batched quality program per 4 frames
     window_ms = []
+    trace_e2e = "--trace-e2e" in sys.argv
     for w in range(3):
+        if trace_e2e and w == 2:
+            jax.profiler.start_trace("/tmp/bench_trace_e2e")
         t0 = time.perf_counter()
         pending_q = []
         for f in range(N_FRAMES):
@@ -422,6 +447,9 @@ def _e2e_section(env):
             if f % KF_EVERY == KF_EVERY - 1:
                 outb = backend_event(w * N_FRAMES + f, out[1][0])
         jax.block_until_ready((out, qres, outb))
+        if trace_e2e and w == 2:
+            jax.profiler.stop_trace()
+            log("e2e window trace → /tmp/bench_trace_e2e")
         window_ms.append((time.perf_counter() - t0) / N_FRAMES * 1e3)
         log(f"  window {w}: {window_ms[-1]:.1f} ms/frame")
     dt_e2e = sorted(window_ms)[1] / 1e3

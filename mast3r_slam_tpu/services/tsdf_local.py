@@ -242,6 +242,47 @@ def raycast_blocks(tsdf, weight, points, mask, origin_cam, grid_origins,
     )(tsdf, weight, points, mask, grid_origins, voxel_sizes)
 
 
+@partial(jax.jit, static_argnames=("grid_dim", "img_size", "n_samples"))
+def refine_blocks_core(Xw, X_cam, conf, T_WC, sel_j, mask, grid_origins,
+                       voxel_sizes, trunc, band, min_weight,
+                       max_displacement, grid_dim, img_size, n_samples):
+    """Batched build + block-pixel gather + batched raycast as ONE program.
+
+    Every per-keyframe-event device computation between the pose snapshot
+    and the fusion write-back: on a remote-attached chip each extra program
+    costs a ~10-20 ms dispatch slot, so the build→gather→raycast chain (3+
+    dispatches) is fused into one. ``Xw (N, 3)`` is passed in (the scheduler
+    needs it on the host for the ROI percentile fit before this runs).
+    Returns ``(new_points (B, P, 3), refined (B, P))``.
+    """
+    tsdf, weight = jax.vmap(
+        lambda o, v: build_block_tsdf_projective(
+            X_cam, conf, T_WC, o, v, trunc, grid_dim, img_size)
+    )(grid_origins, voxel_sizes)
+    origin_cam = lie.translation(T_WC)
+    pts = Xw[sel_j]                                    # (B, P, 3)
+    return jax.vmap(
+        lambda t, w, p, m, o, v: raycast_block(
+            t, w, p, m, origin_cam, o, v, band, min_weight,
+            max_displacement, n_samples)
+    )(tsdf, weight, pts, mask, grid_origins, voxel_sizes)
+
+
+@jax.jit
+def _world_pointmap(T_WC, X_cam):
+    """One-program snapshot transform: world points for the ROI fit."""
+    return lie.act(T_WC[None], X_cam)
+
+
+@jax.jit
+def _boost_conf(refined, C_dev, conf_boost_scaled, conf_max_scaled):
+    """One-program confidence-boost combine for the write-back (the eager
+    where/minimum/add chain was 3 dispatches per block)."""
+    return jnp.where(refined[:, None],
+                     jnp.minimum(C_dev + conf_boost_scaled, conf_max_scaled),
+                     C_dev)
+
+
 # ---------------------------------------------------------------------------
 # Host-side scheduling structures
 # ---------------------------------------------------------------------------
@@ -575,12 +616,11 @@ class TSDFRefiner:
             X = jax.device_put(X, self.device)
             T_WC = jax.device_put(T_WC, self.device)
 
-        Xw = lie.act(T_WC[None], X)                     # world frame
-        origin = lie.translation(T_WC)
+        Xw = _world_pointmap(T_WC, X)                   # world frame
         conf = jnp.asarray(np.clip(C / n_fuse, 0.0, None))
         if self.device is not None:
             conf = jax.device_put(conf, self.device)
-        Xw_np = np.asarray(Xw)
+        Xw_np = np.asarray(Xw)  # host copy for the ROI percentile fit
 
         # host-side per-block ROI fit; blocks failing the sanity gates drop
         prep = []  # (slot, sel, grid_origin_lo, voxel)
@@ -619,20 +659,16 @@ class TSDFRefiner:
             voxels[b] = voxel
         grid_origins = jnp.asarray(origins)
         voxel_sizes = jnp.asarray(voxels)
-
-        # Projective voxel-parallel build (gather-only; the sample-scatter
-        # kernel serializes on colliding voxel indices — seconds per block
-        # at production scale).
-        tsdf, weight = build_blocks_tsdf_projective(
-            X, conf, T_WC, grid_origins, voxel_sizes, self.trunc, G,
-            (kf.h, kf.w),
-        )
         sel_j = jnp.asarray(sel_pad)
-        Xw_sel = Xw[sel_j]                              # (B, P, 3)
-        new_sel, refined_sel = raycast_blocks(
-            tsdf, weight, Xw_sel, jnp.asarray(mask_pad), origin,
-            grid_origins, voxel_sizes, 0.1, self.min_weight, self.max_disp,
-            self.ray_samples,
+
+        # Projective voxel-parallel builds (gather-only; the sample-scatter
+        # kernel serializes on colliding voxel indices — seconds per block
+        # at production scale) + block-pixel gather + raycasts, fused into
+        # ONE device program for the whole keyframe event.
+        new_sel, refined_sel = refine_blocks_core(
+            Xw, X, conf, T_WC, sel_j, jnp.asarray(mask_pad), grid_origins,
+            voxel_sizes, self.trunc, 0.1, self.min_weight, self.max_disp,
+            G, (kf.h, kf.w), self.ray_samples,
         )
         refined_all = np.asarray(refined_sel)           # (B, P)
 
@@ -649,19 +685,17 @@ class TSDFRefiner:
             new_w = None
             if self.geo_weight > 0:
                 new_w = Xw.at[sel_j[b]].set(
-                    jnp.where(refined_sel[b][:, None], new_sel[b], Xw_sel[b]))
+                    jnp.where(refined_sel[b][:, None], new_sel[b],
+                              Xw[sel_j[b]]))
 
             with kf.lock:
                 if int(kf.version[kf_id]) != version:
                     self.stats["version_conflicts"] += 1
                     continue
                 Cdev = kf.C[kf_id]
-                boost = jnp.where(
-                    jnp.asarray(refined_np)[:, None],
-                    jnp.minimum(Cdev + self.conf_boost * n_fuse,
-                                self.conf_max * n_fuse),
-                    Cdev,
-                )
+                boost = _boost_conf(jnp.asarray(refined_np), Cdev,
+                                    self.conf_boost * n_fuse,
+                                    self.conf_max * n_fuse)
                 X_new = kf.X[kf_id]
                 if self.geo_weight > 0:
                     X_ref_cam = lie.act(lie.inv(T_WC)[None], new_w)

@@ -297,3 +297,38 @@ def test_batched_build_raycast_match_per_block():
         np.testing.assert_array_equal(np.asarray(ok_b[b]), np.asarray(ok_1))
         np.testing.assert_allclose(np.asarray(new_b[b]), np.asarray(new_1),
                                    atol=1e-6)
+
+
+def test_refine_blocks_core_matches_two_call_path():
+    """refine_blocks_core (the whole keyframe event as ONE program) is
+    bit-exact with the build_blocks + gather + raycast_blocks chain."""
+    from mast3r_slam_tpu.ops import lie
+    from mast3r_slam_tpu.services.tsdf_local import (
+        build_blocks_tsdf_projective,
+        raycast_blocks,
+        refine_blocks_core,
+    )
+
+    X, (H, W) = _plane_pointmap()
+    conf = jnp.asarray(RNG.uniform(0.5, 1.0, H * W).astype(np.float32))
+    T_WC = lie.identity()
+    Xw = lie.act(T_WC[None], jnp.asarray(X))
+    G, S, P = 16, 16, 64
+    origins = jnp.asarray([[-0.5, -0.5, 0.6], [-0.3, -0.4, 0.7]],
+                          jnp.float32)
+    voxels = jnp.asarray([0.06, 0.05], jnp.float32)
+    sel_j = jnp.asarray(RNG.integers(0, H * W, (2, P)))
+    mask = jnp.asarray(RNG.random((2, P)) > 0.1)
+
+    new_f, ok_f = refine_blocks_core(
+        Xw, X, conf, T_WC, sel_j, mask, origins, voxels, 0.1, 0.1, 0.01,
+        0.05, G, (H, W), S)
+
+    tsdf_b, w_b = build_blocks_tsdf_projective(
+        X, conf, T_WC, origins, voxels, 0.1, G, (H, W))
+    new_2, ok_2 = raycast_blocks(tsdf_b, w_b, Xw[sel_j], mask,
+                                 lie.translation(T_WC), origins, voxels,
+                                 0.1, 0.01, 0.05, S)
+    np.testing.assert_array_equal(np.asarray(ok_f), np.asarray(ok_2))
+    np.testing.assert_allclose(np.asarray(new_f), np.asarray(new_2),
+                               atol=1e-6)
