@@ -99,7 +99,8 @@ class MASt3RInference:
             from mast3r_slam_tpu.parallel import sharding as S
 
             n_dev = int(_np.prod(self.mesh.devices.shape))
-            # Pad the pair batch up to the mesh size (repeat row 0) so the
+            # Pad the pair batch up to the mesh size (edge mode repeats the
+            # LAST row; the padded rows are trimmed after decode) so the
             # decode ALWAYS runs on the backend sub-mesh — a fallback to the
             # frontend chip would stall tracking for ~200 ms per event.
             Bp = S.pad_to_multiple(B, n_dev)

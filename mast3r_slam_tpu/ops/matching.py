@@ -215,6 +215,8 @@ def _dilation_levels(dilation_max: int, step: int) -> list:
     ALWAYS ends at d=1 so the final position is refined at pixel
     granularity."""
     levels = list(range(dilation_max, 0, -step))
+    if not levels:
+        return []  # dilation_max=0: no refinement (reference's empty loop)
     if levels[-1] != 1:
         levels.append(1)
     return levels

@@ -198,6 +198,14 @@ class AsynchronousQualityService:
         gh, gw = H // self.ps, W // self.ps
         B = len(jobs)
 
+        # The scan chain only carries state between ADJACENT same-keyframe
+        # jobs; a stable sort by kf_id makes every same-kf run adjacent (in
+        # arrival order within the run, so the chain follows frame order and
+        # the last published result per kf is the newest — exactly the
+        # sequential path's semantics even for interleaved batches like
+        # [A, B, A] after a relocalization).
+        jobs = sorted(jobs, key=lambda j: int(j["kf_id"]))
+
         chain = np.zeros(B, bool)
         prev = np.zeros((B, gh, gw), np.float32)
         with self._lock:

@@ -583,6 +583,11 @@ class TSDFRefiner:
                         backoff = self.retry_backoff_s * (2 ** (attempts - 1))
                         self._retry[blk.kf_id] = (time.monotonic() + backoff,
                                                   attempts)
+        if pending is not None:
+            # a different-keyframe task popped while grouping, orphaned by
+            # stop_flag: put it back so the registry entry (still QUEUED)
+            # and the drain/queue accounting stay consistent
+            self.task_q.put(pending)
 
     def _refine_block(self, blk: PatchBlock) -> bool:
         return self._refine_blocks([blk])[0]
@@ -684,9 +689,15 @@ class TSDFRefiner:
             refined_np[sel] = refined_sel_np
             new_w = None
             if self.geo_weight > 0:
-                new_w = Xw.at[sel_j[b]].set(
+                # Padded lanes carry index 0; redirect them out of bounds so
+                # the scatter drops them (duplicate index-0 updates are
+                # order-undefined and could clobber a real pixel-0 refine).
+                idx_b = jnp.where(jnp.asarray(mask_pad[b]), sel_j[b],
+                                  Xw.shape[0])
+                new_w = Xw.at[idx_b].set(
                     jnp.where(refined_sel[b][:, None], new_sel[b],
-                              Xw[sel_j[b]]))
+                              Xw[sel_j[b]]),
+                    mode="drop")
 
             with kf.lock:
                 if int(kf.version[kf_id]) != version:

@@ -758,15 +758,20 @@ class FactorGraph:
         if len(ii_new) == 0:
             return False
         kf = self.keyframes
+        use_geo = not is_reloc and bool(self.cfg.get("warm_start_geo", True))
         with kf.lock:
             feat_i = kf.feat[np.asarray(ii_new)]
             feat_j = kf.feat[np.asarray(jj_new)]
             pos_i = kf.pos[np.asarray(ii_new)]
             pos_j = kf.pos[np.asarray(jj_new)]
-            X_i = kf.X[np.asarray(ii_new)]
-            X_j = kf.X[np.asarray(jj_new)]
-            T_i = kf.T_WC[np.asarray(ii_new)]
-            T_j = kf.T_WC[np.asarray(jj_new)]
+            if use_geo:
+                # only the geometric warm start consumes these — don't pay
+                # four (B, n_pix, 3)/(B, 8) gathers under the keyframe lock
+                # (blocking the tracker) on reloc / warm_start_geo=False
+                X_i = kf.X[np.asarray(ii_new)]
+                X_j = kf.X[np.asarray(jj_new)]
+                T_i = kf.T_WC[np.asarray(ii_new)]
+                T_j = kf.T_WC[np.asarray(jj_new)]
         img_hw = kf.img_shapes[int(ii_new[0])][1]
 
         # Geometric warm start for every edge in BOTH directions: project
@@ -777,7 +782,7 @@ class FactorGraph:
         # in reloc mode, where the candidate poses are exactly what is in
         # question and identity is the safer init.
         init_i2j = init_j2i = None
-        if not is_reloc and bool(self.cfg.get("warm_start_geo", True)):
+        if use_geo:
             init_i2j, init_j2i = _geo_match_init(X_i, X_j, T_i, T_j, img_hw)
 
         if init_hint is not None:
@@ -891,26 +896,39 @@ class FactorGraph:
         want_ij = np.stack([ver[self.ii], ver[self.jj]], 1)
         want_ji = np.stack([ver[self.jj], ver[self.ii]], 1)
 
-        X = kf.X
-        Cavg = kf.C / jnp.clip(
-            jnp.asarray(kf.N, jnp.float32)[:, None, None], 1.0)
-        if kind == "calib":
-            # both solve sides use ray-constrained points (reference
-            # global_opt.py:145-150)
-            X = geometry.constrain_points_to_ray(
-                (kf.h, kf.w), X.reshape(-1, self.n_pix, 3), self.K)
-        if self.mesh is not None:
-            # Disjoint topology: the keyframe buffers live on the frontend
-            # device; replicate the premeas inputs onto the backend sub-mesh
-            # so the gather programs run there (mixing commitments would
-            # error, and running on the frontend chip would stall tracking).
-            from mast3r_slam_tpu.parallel import sharding as S
+        # The premeas inputs are only needed when at least one row is
+        # actually (re)computed — a warm-cache solve must not pay the Cavg
+        # build, the calib ray-constraint, or the ~260 MB X/Cavg replication
+        # onto the backend mesh. Build lazily, once per _ensure_meas call.
+        _cache = []
 
-            X = S.replicate(X, self.mesh)
-            Cavg = S.replicate(Cavg, self.mesh)
+        def _inputs():
+            if _cache:
+                return _cache[0]
+            X = kf.X
+            Cavg = kf.C / jnp.clip(
+                jnp.asarray(kf.N, jnp.float32)[:, None, None], 1.0)
+            if kind == "calib":
+                # both solve sides use ray-constrained points (reference
+                # global_opt.py:145-150)
+                X = geometry.constrain_points_to_ray(
+                    (kf.h, kf.w), X.reshape(-1, self.n_pix, 3), self.K)
+            if self.mesh is not None:
+                # Disjoint topology: the keyframe buffers live on the
+                # frontend device; replicate the premeas inputs onto the
+                # backend sub-mesh so the gather programs run there (mixing
+                # commitments would error, and running on the frontend chip
+                # would stall tracking).
+                from mast3r_slam_tpu.parallel import sharding as S
+
+                X = S.replicate(X, self.mesh)
+                Cavg = S.replicate(Cavg, self.mesh)
+            _cache.append((X, Cavg))
+            return _cache[0]
 
         if self._meas_kind != kind or self._meas_ij is None:
             rows = np.arange(E)
+            X, Cavg = _inputs()
             self._meas_ij = self._premeas_rows(kind, rows, "ij", X, Cavg)
             self._meas_ji = self._premeas_rows(kind, rows, "ji", X, Cavg)
             self._meas_kind = kind
@@ -921,6 +939,7 @@ class FactorGraph:
         E0 = self._meas_ver_ij.shape[0]
         if E0 < E:
             rows = np.arange(E0, E)
+            X, Cavg = _inputs()
             new_ij = self._premeas_rows(kind, rows, "ij", X, Cavg)
             new_ji = self._premeas_rows(kind, rows, "ji", X, Cavg)
             self._meas_ij = tuple(
@@ -939,6 +958,7 @@ class FactorGraph:
             stale = np.where((ver_cached != want).any(axis=1))[0]
             if stale.size == 0:
                 continue
+            X, Cavg = _inputs()
             fresh = self._premeas_rows(kind, stale, direction, X, Cavg)
             sj = jnp.asarray(stale)
             if direction == "ij":
@@ -995,20 +1015,41 @@ class FactorGraph:
                     tuple(S.shard_leading(ch, self.mesh) for ch in meas),
                 )
                 solve_mesh = self.mesh
+            else:
+                # bucket not divisible by the mesh (e.g. few edges early in
+                # a session on a large slice): fall back to a single-device
+                # solve on the first backend chip. The meas channels were
+                # already committed to mesh devices by _ensure_meas, so
+                # EVERY solve input must land on that one device — mixed
+                # frontend/backend commitments make jit raise.
+                dev0 = self.mesh.devices.flat[0]
+                out = (
+                    jax.device_put(out[0], dev0),
+                    jax.device_put(out[1], dev0),
+                    jax.device_put(out[2], dev0),
+                    tuple(jax.device_put(ch, dev0) for ch in meas),
+                )
         return out + (solve_mesh,)
 
     def _place_T(self, T, solve_mesh):
-        """Replicate the pose table onto the backend mesh for the solve (it
-        may arrive committed to the frontend device, and jit rejects inputs
-        committed to different devices)."""
+        """Place the pose table where the solve runs (it may arrive
+        committed to the frontend device, and jit rejects inputs committed
+        to different devices): replicated over the backend mesh, or on the
+        first backend chip for the non-divisible single-device fallback."""
         if solve_mesh is None:
+            if self.mesh is not None:
+                return jax.device_put(T, self.mesh.devices.flat[0])
             return T  # donated and immediately replaced by the caller
         from mast3r_slam_tpu.parallel import sharding as S
 
         return S.replicate(T, solve_mesh)
 
     def _place_K(self, solve_mesh):
-        if solve_mesh is None or self.K is None:
+        if self.K is None:
+            return self.K
+        if solve_mesh is None:
+            if self.mesh is not None:
+                return jax.device_put(self.K, self.mesh.devices.flat[0])
             return self.K
         from mast3r_slam_tpu.parallel import sharding as S
 

@@ -207,3 +207,16 @@ def test_refine_matches_level_step_smooth_field():
     assert (err_fast <= 1).mean() > 0.85, (err_fast <= 1).mean()
     agree = (np.abs(np.asarray(p_fast[0]) - np.asarray(p_full[0])) <= 1).all(-1)
     assert agree.mean() > 0.85, f"level_step=2 disagrees: {agree.mean()}"
+
+
+def test_refine_matches_dilation_max_zero_is_noop():
+    """dilation_max=0 disables refinement entirely (the reference's
+    ``range(0, 0, -1)`` loop runs zero iterations) instead of crashing."""
+    h, w, f = 16, 24, 8
+    D = RNG.normal(size=(h, w, f)).astype(np.float32)
+    D11 = jnp.asarray(D)[None]
+    p0 = np.stack([RNG.integers(0, w, 20), RNG.integers(0, h, 20)], axis=-1)
+    D21 = jnp.asarray(D[p0[:, 1], p0[:, 0]])[None]
+    p_ref = matching.refine_matches(D11, D21, jnp.asarray(p0)[None],
+                                    radius=3, dilation_max=0)
+    np.testing.assert_array_equal(np.asarray(p_ref[0]), p0)

@@ -279,3 +279,41 @@ def test_production_shape_sharded_decode(mesh):
     assert bool(jnp.all(jnp.isfinite(D)))
     print(f"\n[production-shape decode] B={B} sharded symmetric decode "
           f"{t:.1f}s (1-core CPU mesh)")
+
+
+def test_factor_graph_mesh_non_divisible_bucket_fallback(mesh):
+    """A mesh whose size does not divide the two-way edge bucket (3 devices,
+    bucket 8) must fall back to a consistent single-device solve — the meas
+    channels land on backend devices while kf.T_WC is homed to the frontend
+    device, so every solve input has to be re-placed together (mixed
+    commitments make jit raise)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tests.test_pipeline import CFG, StubModel, make_keyframes
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices for a 3-device backend mesh")
+    from jax.sharding import Mesh
+
+    mesh3 = Mesh(np.array(jax.devices()[1:4]), (S.EDGE_AXIS,))
+    home = jax.devices()[0]
+
+    kfs = make_keyframes(5, noise=0.02)
+    graph = FG.FactorGraph(StubModel(), kfs, CFG, mesh=mesh3,
+                           home_device=home)
+    graph.add_factors([0, 1, 2, 3], [1, 2, 3, 4], 0.0)
+    T_before = np.asarray(kfs.T_WC[:5]).copy()
+    graph.solve_GN_rays()   # first solve: T arrives uncommitted
+    graph.solve_GN_rays()   # second solve: T arrives committed to `home`
+    T_after = np.asarray(kfs.T_WC[:5])
+    assert np.isfinite(T_after).all()
+    assert np.abs(T_after[1:] - T_before[1:]).max() > 1e-6
+
+    # matches the no-mesh solve on the same problem
+    kfs2 = make_keyframes(5, noise=0.02)
+    graph2 = FG.FactorGraph(StubModel(), kfs2, CFG)
+    graph2.add_factors([0, 1, 2, 3], [1, 2, 3, 4], 0.0)
+    graph2.solve_GN_rays()
+    np.testing.assert_allclose(T_after, np.asarray(kfs2.T_WC[:5]),
+                               rtol=1e-4, atol=1e-5)

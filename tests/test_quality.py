@@ -236,3 +236,45 @@ def test_async_service_batches_into_one_program(monkeypatch):
     for key in ("cov_ewma", "priority", "class_id", "r"):
         np.testing.assert_allclose(got[key], ref[key], atol=1e-6,
                                    err_msg=key)
+
+
+def test_process_group_interleaved_kf_matches_sequential():
+    """An interleaved batch [A, B, A] through _process_group gives the same
+    results and persisted EWMA state as the sequential per-job path (the
+    scan chain only links adjacent same-kf jobs; the service sorts the
+    batch by kf_id so in-batch state flows to non-adjacent repeats)."""
+    H, W = 32, 48
+    n = H * W
+
+    def mk(kf_id, frame_id):
+        return {
+            "kf_id": kf_id, "frame_id": frame_id, "H": H, "W": W,
+            "valid_kf": RNG.random(n) > 0.2,
+            "r_pix": RNG.random(n).astype(np.float32),
+            "Ck": RNG.uniform(0.1, 2.0, n).astype(np.float32),
+            "Qk": RNG.uniform(0.1, 3.0, n).astype(np.float32),
+            "t_norm": float(RNG.random()), "theta": float(RNG.random() * 0.2),
+        }
+
+    jobs = [mk(3, 0), mk(8, 1), mk(3, 2)]  # reloc-style interleave
+
+    cfg = {"quality": {"batch_size": 4, "max_wait_ms": 5}}
+    svc_seq = AsynchronousQualityService(cfg)   # never started: direct calls
+    svc_grp = AsynchronousQualityService(cfg)
+    for j in jobs:
+        svc_seq._process(dict(j))
+    svc_grp._process_group([dict(j) for j in jobs])
+
+    for kf_id, frame_id in ((3, 0), (8, 1), (3, 2)):
+        a = svc_seq.get_by_frame_id(frame_id)
+        b = svc_grp.get_by_frame_id(frame_id)
+        assert a is not None and b is not None
+        for key in ("delta_cov", "r", "u", "class_id", "priority",
+                    "cov_ewma"):
+            np.testing.assert_allclose(b[key], a[key], atol=1e-6,
+                                       err_msg=f"{key} frame {frame_id}")
+    # persisted per-kf EWMA state identical (the later A job must have seen
+    # the earlier A job's in-batch update)
+    for kf_id in (3, 8):
+        np.testing.assert_allclose(svc_grp._ewma_state[kf_id],
+                                   svc_seq._ewma_state[kf_id], atol=1e-6)
