@@ -44,7 +44,7 @@ from mast3r_slam_tpu.slam.tracker import FrameTracker
 from mast3r_slam_tpu.utils.config import config, load_config
 
 
-def build_model(args, cfg):
+def build_model(args, cfg, downsample=1):
     mdl = cfg.get("model", {})
     if mdl.get("preset", "") == "tiny":  # CPU-testable model for smoke runs
         mcfg = M.tiny_config()
@@ -65,7 +65,7 @@ def build_model(args, cfg):
     if topo.backend_mesh is not None:
         print(f"disjoint device topology: {topo.describe()}")
     model = MASt3RInference(params, mcfg, cfg.get("matching", {}),
-                            mesh=topo.backend_mesh)
+                            mesh=topo.backend_mesh, downsample=downsample)
     return model, topo
 
 
@@ -111,6 +111,15 @@ def main(argv=None):
 
     img_size = int(cfg.get("dataset", {}).get("img_size", 512))
     (h, w), _ = dataset.get_img_shape(img_size)
+    # dataset.img_downsample decimates the WORKING per-pixel state (pointmaps,
+    # confidences, descriptors — reference mast3r_utils.py:43-52); the model
+    # still runs at the full (h, w) crop. Encoder tokens stay at model res.
+    ds = int(cfg.get("dataset", {}).get("img_downsample", 1))
+    if ds > 1 and ((h // ds) % 16 or (w // ds) % 16):
+        raise SystemExit(
+            f"dataset.img_downsample={ds} must keep the working resolution "
+            f"({h}//{ds}, {w}//{ds}) divisible by the 16px quality patch")
+    h_work, w_work = h // ds, w // ds
     n_frames = len(dataset)
     if args.max_frames:
         n_frames = min(n_frames, args.max_frames)
@@ -127,13 +136,19 @@ def main(argv=None):
             if p.exists():
                 p.unlink()
 
-    model, topo = build_model(args, cfg)
-    keyframes = KeyframeBuffer(h, w, capacity=110,
-                               feat_dim=model.cfg.enc_embed_dim)
+    model, topo = build_model(args, cfg, downsample=ds)
+    keyframes = KeyframeBuffer(h_work, w_work, capacity=110,
+                               feat_dim=model.cfg.enc_embed_dim,
+                               model_hw=(h, w))
     states = States()
     K = None
     if use_calib:
         K = jnp.asarray(dataset.camera_intrinsics.K_frame)
+        if ds > 1:
+            # rescale intrinsics to the working resolution (the reference
+            # leaves K at crop scale — a latent bug in its unused
+            # downsample+calib combination that we do not replicate)
+            K = K * jnp.asarray([[1.0 / ds], [1.0 / ds], [1.0]])
         keyframes.set_intrinsics(K)
 
     quality = (AsynchronousQualityService(

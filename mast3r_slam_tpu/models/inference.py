@@ -20,6 +20,19 @@ from mast3r_slam_tpu.models import mast3r as M
 from mast3r_slam_tpu.ops import matching
 
 
+def _decimate(a, ds, h_axis=1):
+    """Strided spatial decimation of image-shaped head outputs — the
+    reference's working-resolution ``downsample`` (mast3r_utils.py:43-52).
+    ``h_axis`` is the H axis; W is the next axis (works for both
+    channel-full ``(…,H,W,F)`` and channel-less ``(…,H,W)`` layouts)."""
+    if ds <= 1:
+        return a
+    idx = [slice(None)] * a.ndim
+    idx[h_axis] = slice(None, None, ds)
+    idx[h_axis + 1] = slice(None, None, ds)
+    return a[tuple(idx)]
+
+
 class MASt3RInference:
     """Holds params + config and exposes SLAM-facing inference methods.
 
@@ -30,11 +43,17 @@ class MASt3RInference:
     """
 
     def __init__(self, params, cfg: M.MASt3RConfig, match_cfg: dict | None = None,
-                 mesh=None):
+                 mesh=None, downsample: int = 1):
         self.params = params
         self.cfg = cfg
         self.match_cfg = match_cfg or {}
         self.mesh = mesh
+        # ``dataset.img_downsample``: decimate the WORKING pointmaps /
+        # descriptors emitted by every inference path by this stride, as the
+        # reference does after each decode (mast3r_utils.py:43-52 downsample,
+        # applied at :78/:114/:134/:205) — the model still runs at full
+        # crop resolution; only the SLAM-side per-pixel state shrinks.
+        self.ds = int(downsample)
         # Separate replicated copy for the backend sub-mesh: the frontend
         # params stay uncommitted so per-frame programs keep running on the
         # (disjoint) frontend device — committing the ONE copy to the mesh
@@ -64,7 +83,8 @@ class MASt3RInference:
         ``frame.feat``/``frame.pos``.
         """
         feat, pos, X, C = _mono_core(
-            self.params, self.cfg, frame.img[None], frame.img_true_shape
+            self.params, self.cfg, frame.img[None], frame.img_true_shape,
+            self.ds,
         )
         frame.feat = feat
         frame.pos = pos
@@ -83,7 +103,7 @@ class MASt3RInference:
         C = jnp.concatenate([res_ii["conf"], res_ji["conf"]], axis=0)
         D = jnp.concatenate([res_ii["desc"], res_ji["desc"]], axis=0)
         Q = jnp.concatenate([res_ii["desc_conf"], res_ji["desc_conf"]], axis=0)
-        return X, C, D, Q
+        return tuple(_decimate(a, self.ds, h_axis=1) for a in (X, C, D, Q))
 
     def decode_symmetric_batch(self, feat_i, pos_i, feat_j, pos_j, img_hw):
         """Both decode directions of B pairs in ONE batched call.
@@ -118,7 +138,8 @@ class MASt3RInference:
             pos_i = S.shard_leading(pos_i, self.mesh)
             pos_j = S.shard_leading(pos_j, self.mesh)
         out = _decode_symmetric_batch_jit(
-            params, self.cfg, feat_i, pos_i, feat_j, pos_j, tuple(img_hw)
+            params, self.cfg, feat_i, pos_i, feat_j, pos_j, tuple(img_hw),
+            self.ds,
         )
         if out[0].shape[1] != B:
             out = tuple(a[:, :B] for a in out)
@@ -166,7 +187,9 @@ class MASt3RInference:
         a missing direction cold-starts from identity.
         """
         b = feat_i.shape[0]
-        n = img_hw[0] * img_hw[1]
+        # n is the WORKING pixel count (img_hw is the model resolution; the
+        # per-pixel state may be decimated by dataset.img_downsample)
+        n = (img_hw[0] // self.ds) * (img_hw[1] // self.ds)
         if self.mesh is None:
             # Fused single-program path: decode + heads + both matcher
             # directions in ONE dispatch (_match_symmetric_fused).
@@ -178,7 +201,7 @@ class MASt3RInference:
             kw_items = tuple(sorted(self._match_kw().items()))
             idx_1_to_2, valid_match_2, Q = _match_symmetric_fused(
                 self.params, self.cfg, feat_i, pos_i, feat_j, pos_j, init,
-                tuple(img_hw), kw_items)
+                tuple(img_hw), kw_items, self.ds)
             Qii, Qji, Qjj, Qij = Q[0], Q[1], Q[2], Q[3]
         else:
             # Mesh path: pair-decode batch shards over the edge axis; the
@@ -237,19 +260,23 @@ class MASt3RInference:
         )
 
 
-@partial(jax.jit, static_argnames=("cfg", "img_hw"))
-def _mono_core(params, cfg, img, img_hw):
+@partial(jax.jit, static_argnames=("cfg", "img_hw", "ds"))
+def _mono_core(params, cfg, img, img_hw, ds=1):
     """Fused mono inference: encode + self-pair decode + head1."""
     feat, pos = M.encode_image(params, cfg, img)
     d1, _ = M.decode_pair(params, cfg, feat, pos, feat, pos)
     res1 = M.downstream_head(params["head1"], cfg, d1, img_hw)
-    b, h, w, _ = res1["pts3d"].shape
-    return (feat, pos, res1["pts3d"].reshape(b, h * w, 3),
-            res1["conf"].reshape(b, h * w, 1))
+    pts = _decimate(res1["pts3d"], ds, h_axis=1)
+    conf = _decimate(res1["conf"], ds, h_axis=1)
+    b, h, w, _ = pts.shape
+    return (feat, pos, pts.reshape(b, h * w, 3),
+            conf.reshape(b, h * w, 1))
 
 
-def _decode_symmetric_core(params, cfg, feat_i, pos_i, feat_j, pos_j, img_hw):
-    """(B, N, C) features → stacked [ii, ji, jj, ij] head outputs, one decode."""
+def _decode_symmetric_core(params, cfg, feat_i, pos_i, feat_j, pos_j, img_hw,
+                           ds=1):
+    """(B, N, C) features → stacked [ii, ji, jj, ij] head outputs, one decode.
+    ``ds``: working-resolution decimation (reference mast3r_utils.py:43-52)."""
     f1 = jnp.concatenate([feat_i, feat_j], axis=0)   # sources
     f2 = jnp.concatenate([feat_j, feat_i], axis=0)   # cross streams
     p1 = jnp.concatenate([pos_i, pos_j], axis=0)
@@ -260,19 +287,21 @@ def _decode_symmetric_core(params, cfg, feat_i, pos_i, feat_j, pos_j, img_hw):
     def stack(key):
         a1 = res1[key]   # [11 (B); 22 (B)]
         a2 = res2[key]   # [21 (B); 12 (B)]
-        return jnp.stack([a1[:b], a2[:b], a1[b:], a2[b:]], axis=0)
+        return _decimate(
+            jnp.stack([a1[:b], a2[:b], a1[b:], a2[b:]], axis=0), ds,
+            h_axis=2)
 
     return stack("pts3d"), stack("conf"), stack("desc"), stack("desc_conf")
 
 
 _decode_symmetric_batch_jit = partial(
-    jax.jit, static_argnames=("cfg", "img_hw")
+    jax.jit, static_argnames=("cfg", "img_hw", "ds")
 )(_decode_symmetric_core)
 
 
-@partial(jax.jit, static_argnames=("cfg", "img_hw", "kw_items"))
+@partial(jax.jit, static_argnames=("cfg", "img_hw", "kw_items", "ds"))
 def _match_symmetric_fused(params, cfg, feat_i, pos_i, feat_j, pos_j, init,
-                           img_hw, kw_items):
+                           img_hw, kw_items, ds=1):
     """Symmetric pair decode + heads + both matcher directions as ONE XLA
     program — the whole backend edge-creation compute in a single dispatch.
 
@@ -290,7 +319,7 @@ def _match_symmetric_fused(params, cfg, feat_i, pos_i, feat_j, pos_j, init,
     Returns ``(idx_1_to_2 (2B, N), valid (2B, N, 1), Q (4, B, h, w, 1))``.
     """
     X, _, D, Q = _decode_symmetric_core(params, cfg, feat_i, pos_i, feat_j,
-                                        pos_j, img_hw)
+                                        pos_j, img_hw, ds)
     X11 = jnp.concatenate([X[0], X[2]], axis=0)
     X21 = jnp.concatenate([X[1], X[3]], axis=0)
     D11 = jnp.concatenate([D[0], D[2]], axis=0)

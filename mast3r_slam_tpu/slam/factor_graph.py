@@ -783,7 +783,10 @@ class FactorGraph:
         # question and identity is the safer init.
         init_i2j = init_j2i = None
         if use_geo:
-            init_i2j, init_j2i = _geo_match_init(X_i, X_j, T_i, T_j, img_hw)
+            # pointmaps live at the WORKING resolution (img_hw is the model
+            # resolution — they differ under dataset.img_downsample)
+            init_i2j, init_j2i = _geo_match_init(X_i, X_j, T_i, T_j,
+                                                 (kf.h, kf.w))
 
         if init_hint is not None:
             hi, hj, hidx = init_hint

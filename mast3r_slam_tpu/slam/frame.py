@@ -140,12 +140,17 @@ class KeyframeBuffer:
     """
 
     def __init__(self, h, w, capacity=110, feat_dim=1024, patch_size=16,
-                 device=None):
+                 device=None, model_hw=None):
         self.lock = threading.RLock()
+        # (h, w): WORKING per-pixel resolution (model crop //
+        # dataset.img_downsample); model_hw: the model crop itself — encoder
+        # tokens stay at model resolution even when pointmaps are decimated
         self.h, self.w = h, w
+        self.model_hw = model_hw if model_hw is not None else (h, w)
         self.capacity = capacity
         self.feat_dim = feat_dim
-        self.num_patches = (h // patch_size) * (w // patch_size)
+        self.num_patches = ((self.model_hw[0] // patch_size)
+                            * (self.model_hw[1] // patch_size))
         n = h * w
         self.n_size = 0
         self.frame_id_to_index: dict[int, int] = {}

@@ -25,9 +25,11 @@ def create_frame(frame_id: int, img_np: np.ndarray, T_WC=None,
                  img_size: int = 512) -> Frame:
     """Host image → model-resolution device Frame (reference frame.py:111-122).
 
-    ``dataset.img_downsample`` decimates the DISPLAY image (uimg) only, as in
-    the reference; the model/pointmap resolution stays fixed so every device
-    buffer keeps its static shape.
+    ``dataset.img_downsample`` decimates the display image (uimg) and
+    ``img_shape`` here; the WORKING pointmaps/descriptors are decimated by
+    the same stride at the inference layer (``MASt3RInference``, matching
+    reference mast3r_utils.py:43-52) — ``img_true_shape`` stays the model
+    crop fed to the ViT.
     """
     from mast3r_slam_tpu.utils.config import config
 

@@ -225,9 +225,10 @@ def make_scfg(tracking_cfg: dict, matching_cfg: dict) -> tuple:
     )
 
 
-@partial(jax.jit, static_argnames=("mcfg", "img_hw", "use_calib", "scfg"))
+@partial(jax.jit, static_argnames=("mcfg", "img_hw", "use_calib", "scfg",
+                                   "model_hw"))
 def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
-               T_WCf_init, T_WCk, K, img_hw, use_calib, scfg):
+               T_WCf_init, T_WCk, K, img_hw, use_calib, scfg, model_hw=None):
     """The ENTIRE per-frame tracking computation as ONE XLA program.
 
     encode → cross-decode + heads → iterative-projection match → fused
@@ -252,10 +253,19 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
     n = H * W
 
     # -- model ---------------------------------------------------------------
+    # img_hw is the WORKING resolution; the heads unflatten at the model
+    # crop (model_hw) and their outputs are decimated down to img_hw when
+    # dataset.img_downsample > 1 (reference mast3r_utils.py:43-52).
+    from mast3r_slam_tpu.models.inference import _decimate
+
+    mh = model_hw if model_hw is not None else img_hw
+    ds = mh[0] // H
     feat_f, pos_f = M.encode_image(params, mcfg, img)
     d1, d2 = M.decode_pair(params, mcfg, feat_f, pos_f, feat_k, pos_k)
-    res_ff = M.downstream_head(params["head1"], mcfg, d1, img_hw)
-    res_kf = M.downstream_head(params["head2"], mcfg, d2, img_hw)
+    res_ff = M.downstream_head(params["head1"], mcfg, d1, mh)
+    res_kf = M.downstream_head(params["head2"], mcfg, d2, mh)
+    res_ff = {k: _decimate(v, ds, h_axis=1) for k, v in res_ff.items()}
+    res_kf = {k: _decimate(v, ds, h_axis=1) for k, v in res_kf.items()}
     Xff = res_ff["pts3d"].reshape(1, n, 3)
     Cff = res_ff["conf"].reshape(1, n, 1)
     Qff = res_ff["desc_conf"].reshape(n)
@@ -482,6 +492,7 @@ class FrameTracker:
             self.model.params, self.model.cfg, frame.img[None], feat_k,
             pos_k, idx_init, X_k, C_k, jnp.asarray(N_k), frame.T_WC, T_WCk,
             K, img_hw, bool(self.use_calib), self._scfg(),
+            model_hw=tuple(kfs.model_hw),
         )
 
         # ---- host-side decisions on the (single) program's outputs ----

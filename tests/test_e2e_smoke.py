@@ -267,3 +267,34 @@ def test_weights_pth_to_npz_to_cli(synth_dataset, tiny_config_file, tmp_path,
     assert traj.exists()
     rows = [l for l in traj.read_text().splitlines() if l.strip()]
     assert rows and np.isfinite([float(v) for v in rows[0].split()]).all()
+
+
+def test_main_end_to_end_downsampled(synth_dataset, tiny_config_file,
+                                     tmp_path, monkeypatch):
+    """dataset.img_downsample=2 runs the whole pipeline at the decimated
+    working resolution (pointmaps/matcher/BA/TSDF at (H/2, W/2); model at
+    the full crop) — reference mast3r_utils.py:43-52 semantics."""
+    import yaml
+
+    import main as cli
+
+    cfg = yaml.safe_load(tiny_config_file.read_text())
+    cfg.setdefault("dataset", {})["img_downsample"] = 2
+    ds_cfg = tiny_config_file.parent / "tiny_ds.yaml"
+    ds_cfg.write_text(yaml.safe_dump(cfg))
+
+    monkeypatch.chdir(tmp_path)
+    cli.main([
+        "--dataset", str(synth_dataset),
+        "--config", str(ds_cfg),
+        "--no-viz",
+        "--save-as", "smoke_ds",
+        "--max-frames", "6",
+    ])
+    out = pathlib.Path("logs") / "smoke_ds" / synth_dataset.name
+    traj = out / f"{synth_dataset.name}.txt"
+    assert traj.exists()
+    vals = [float(v)
+            for v in traj.read_text().splitlines()[0].split()]
+    assert len(vals) == 8 and np.isfinite(vals).all()
+    assert (out / f"{synth_dataset.name}.ply").stat().st_size > 100

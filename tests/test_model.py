@@ -229,3 +229,50 @@ def test_head_dtype_bf16_deviation_bounded():
     p16 = np.asarray(r16["pts3d"])
     rel = np.abs(p16 - p32) / (np.abs(p32) + 1e-2)
     assert np.median(rel) < 0.12, np.median(rel)
+
+
+def test_inference_downsample_decimates_working_outputs():
+    """downsample=2 decimates every inference path's per-pixel outputs by
+    stride 2 in H and W (reference mast3r_utils.py:43-52 applied at each
+    decode site), bit-exactly equal to slicing the full-resolution outputs.
+    The model itself still runs at the full crop."""
+    from mast3r_slam_tpu.models.inference import MASt3RInference
+    from mast3r_slam_tpu.slam.pipeline import create_frame
+
+    cfg = M.tiny_config()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    H, W = 32, 48
+    n_tok = (H // 16) * (W // 16)
+    key = jax.random.PRNGKey(6)
+    feat_i = jax.random.normal(key, (1, n_tok, cfg.enc_embed_dim))
+    feat_j = jax.random.normal(jax.random.fold_in(key, 1), feat_i.shape)
+    pos = M.patch_positions(H // 16, W // 16, 1)
+
+    m1 = MASt3RInference(params, cfg, {"radius": 1, "dilation_max": 1})
+    m2 = MASt3RInference(params, cfg, {"radius": 1, "dilation_max": 1},
+                         downsample=2)
+
+    # symmetric decode: stacked (4, B, H, W, ·) images decimated
+    full = m1.decode_symmetric_batch(feat_i, pos, feat_j, pos, (H, W))
+    half = m2.decode_symmetric_batch(feat_i, pos, feat_j, pos, (H, W))
+    for a_full, a_half in zip(full, half):
+        np.testing.assert_array_equal(
+            np.asarray(a_full)[:, :, ::2, ::2], np.asarray(a_half))
+
+    # symmetric match: working-n index space
+    n_work = (H // 2) * (W // 2)
+    idx_i2j, idx_j2i, valid_j, valid_i, Qii, *_ = m2.match_symmetric(
+        feat_i, pos, feat_j, pos, (H, W))
+    assert idx_i2j.shape == (1, n_work)
+    assert Qii.shape == (1, n_work, 1)
+    assert int(np.max(idx_i2j)) < n_work
+
+    # mono path: flattened decimated pointmap
+    img = np.zeros((H, W, 3), np.float32)
+    fr1 = create_frame(0, (img * 255).astype(np.uint8), img_size=max(H, W))
+    fr2 = create_frame(0, (img * 255).astype(np.uint8), img_size=max(H, W))
+    X1, C1 = m1.inference_mono(fr1)
+    X2, C2 = m2.inference_mono(fr2)
+    hw1 = fr1.img_true_shape
+    Xg = np.asarray(X1).reshape(1, hw1[0], hw1[1], 3)[:, ::2, ::2]
+    np.testing.assert_array_equal(Xg.reshape(1, -1, 3), np.asarray(X2))
