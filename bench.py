@@ -10,11 +10,13 @@ device program the full system dispatches onto the chip:
   its helpers) plus the quality-service batch the tracker submits each frame
   (``quality_core.compute_quality`` — async thread in production, but the
   device still serializes it);
-- every KF_EVERY frames, a keyframe event: batched symmetric pair decode for
-  new factors, measured-channel premeas for the new edges, a
-  production-scale 10-iteration global BA solve over 128 two-way edges, and
-  the local-TSDF refine block batch the event schedules
-  (``build_block_tsdf`` + ``raycast_block`` × max_rois).
+- every KF_EVERY frames, a keyframe event: consecutive-edge creation as
+  production runs it (one-direction pair decode + one matcher — the other
+  direction is REUSED from the tracker's converged match, see
+  FactorGraph.add_factors' 5-tuple hint), measured-channel premeas for both
+  directions of the new edge, a production-scale 10-iteration global BA
+  solve over 128 two-way edges, and the local-TSDF refine block batch the
+  event schedules (``refine_blocks_core``).
 
 A single chip serializes XLA programs, so all of this genuinely stalls
 tracking — the window measures that contention instead of hiding it
@@ -325,42 +327,34 @@ def _e2e_section(env):
 
     @jax.jit
     def backend_decode(params, feat_a, feat_b_base, rj, idx_warm):
-        # symmetric pair decode + heads + both matcher directions as ONE
-        # program, exactly like the production match_symmetric fused path
-        # (models/inference.py::_match_symmetric_fused): per-direction B=1
-        # matcher calls inside the program (batched matching runs every row
-        # to the slowest row's LM iteration count — 2x B=1 measured 94 vs
-        # 132 ms), single dispatch per keyframe event. The i->j direction
-        # warm-starts from the tracker's converged correspondence, as the
-        # production add_factors path does. Input variation (rj) lives
-        # inside the program — eager variation cost extra dispatch slots.
+        # Consecutive-edge creation, exactly like the production path
+        # (factor_graph.add_factors with the tracker's 5-tuple hint →
+        # models/inference.py::_match_oneway_fused): the tracker's converged
+        # frame→keyframe match IS the edge's j→i direction (bit-identical
+        # computation), so the event decodes only the (i, j) direction +
+        # ONE matcher, in a single dispatch. The i→j matcher warm-starts
+        # from the pose-projected init (the tracker correspondence here).
+        # Input variation (rj) lives inside the program — eager variation
+        # cost extra dispatch slots.
         feat_b = feat_b_base + 1e-6 * (rj + 1.0)
-        d1, d2 = M.decode_pair(
-            params, cfg,
-            jnp.concatenate([feat_a, feat_b]), jnp.concatenate([pos_k, pos_k]),
-            jnp.concatenate([feat_b, feat_a]), jnp.concatenate([pos_k, pos_k]))
+        d1, d2 = M.decode_pair(params, cfg, feat_a, pos_k, feat_b, pos_k)
         rb1 = M.downstream_head(params["head1"], cfg, d1, (H, W))
         rb2 = M.downstream_head(params["head2"], cfg, d2, (H, W))
         Xb1 = X_scene + 1e-4 * jnp.tanh(rb1["pts3d"])
         Xb2 = X_shift + 1e-4 * jnp.tanh(rb2["pts3d"])
         Db1 = _norm(D_scene + 0.05 * rb1["desc"])
         Db2 = _norm(D_shift + 0.05 * rb2["desc"])
-        init = jnp.stack([idx_warm,
-                          jnp.arange(n_pix, dtype=jnp.int32)])
-        rows = [matching.match(Xb1[r:r + 1], Xb2[r:r + 1], Db1[r:r + 1],
-                               Db2[r:r + 1], idx_1_to_2_init=init[r:r + 1],
-                               level_step=2)
-                for r in range(2)]
-        return (jnp.concatenate([r[0] for r in rows]),
-                jnp.concatenate([r[1] for r in rows]))
+        return matching.match(Xb1, Xb2, Db1, Db2,
+                              idx_1_to_2_init=idx_warm[None], level_step=2)
 
     @jax.jit
-    def premeas_event(X_kfs, Cavg, Q2, idx_new, valid_new):
-        # premeas for the new edges (2-bucket, as FactorGraph pads the 1-2
-        # edges a keyframe event actually adds) — input glue inside the
-        # program, one dispatch like production's add_factors premeas. Big
-        # operands are ARGUMENTS (jit closures capture them as constants).
-        idx2 = jnp.tile(idx_new[:1], (2, 1))
+    def premeas_event(X_kfs, Cavg, Q2, idx_new, valid_new, idx_reused):
+        # premeas for BOTH directions of the new consecutive edge (2-bucket,
+        # as FactorGraph pads): i→j from the oneway matcher, j→i REUSED from
+        # the tracker — input glue inside the program, one dispatch like
+        # production's add_factors premeas. Big operands are ARGUMENTS (jit
+        # closures capture them as constants).
+        idx2 = jnp.stack([idx_new[0], idx_reused])
         return FG.precompute_meas_rays(
             X_kfs, Cavg, ii[:2], jj[:2], idx2,
             jnp.tile(valid_new[:1], (2, 1, 1)), Q2, 0.0, 1.5)
@@ -380,7 +374,8 @@ def _e2e_section(env):
         rj = jnp.asarray(float(r), jnp.float32)
         idx_new, valid_new = backend_decode(params, feat_k, feat_f2, rj,
                                             idx_warm)
-        meas_new = premeas_event(X_kfs, Cavg, Q_e[:2], idx_new, valid_new)
+        meas_new = premeas_event(X_kfs, Cavg, Q_e[:2], idx_new, valid_new,
+                                 idx_warm)
         T_out = solve_event(meas, rj)
         # the TSDF refine blocks this keyframe event schedules
         tsdf_out = tsdf_event(X_cam_tsdf, conf_tsdf, rj)
@@ -411,7 +406,7 @@ def _e2e_section(env):
     log(f"  stage decode+match: {(time.perf_counter() - t0) * 1e3:.1f} ms")
     t0 = time.perf_counter()
     jax.block_until_ready(
-        premeas_event(X_kfs, Cavg, Q_e[:2], idx_new, valid_new))
+        premeas_event(X_kfs, Cavg, Q_e[:2], idx_new, valid_new, idx_track))
     log(f"  stage premeas-new: {(time.perf_counter() - t0) * 1e3:.1f} ms")
     t0 = time.perf_counter()
     jax.block_until_ready(

@@ -261,8 +261,9 @@ def main(argv=None):
                 keyframes.append(frame)
                 new_idx = len(keyframes) - 1
                 if getattr(tracker, "last_kf_match", None) is not None:
-                    prev_kf, idx_f2k = tracker.last_kf_match
-                    states.set_kf_match_hint(prev_kf, new_idx, idx_f2k[0])
+                    prev_kf, idx_f2k, vmatch, Qk = tracker.last_kf_match
+                    states.set_kf_match_hint(prev_kf, new_idx, idx_f2k[0],
+                                             vmatch, Qk)
                     tracker.last_kf_match = None
                 states.queue_global_optimization(new_idx)
                 if refiner.is_alive():  # health gate (reference main.py:403-408)

@@ -245,6 +245,28 @@ class MASt3RInference:
             Qji.reshape(b, n, 1), Qij.reshape(b, n, 1),
         )
 
+    def match_oneway(self, feat_i, pos_i, feat_j, pos_j, img_hw,
+                     init_i2j=None):
+        """ONE direction of a symmetric edge: decode (i, j) + the i→j
+        matcher, as a single fused program.
+
+        Used by the backend when the j→i direction of a consecutive edge is
+        REUSED from the tracker: the tracker's decode (frame=j, keyframe=i)
+        and converged match are bit-identical to what the symmetric path
+        would recompute for that direction (same deterministic programs on
+        the same features), so the keyframe event only pays half the decode
+        and one matcher. Returns ``(idx_i2j (1, N), valid_j (1, N, 1),
+        Qii (1, N), Qji (1, N))`` at the working resolution.
+        """
+        n = (img_hw[0] // self.ds) * (img_hw[1] // self.ds)
+        if init_i2j is None:
+            init_i2j = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None],
+                                        (1, n))
+        kw_items = tuple(sorted(self._match_kw().items()))
+        return _match_oneway_fused(
+            self.params, self.cfg, feat_i, pos_i, feat_j, pos_j,
+            init_i2j.astype(jnp.int32), tuple(img_hw), kw_items, self.ds)
+
     def _match_kw(self):
         c = self.match_cfg
         return dict(
@@ -258,6 +280,27 @@ class MASt3RInference:
             plateau_frac=float(c.get("plateau_frac", 0.001)),
             level_step=int(c.get("level_step", 1)),
         )
+
+
+@partial(jax.jit, static_argnames=("cfg", "img_hw", "kw_items", "ds"))
+def _match_oneway_fused(params, cfg, feat_i, pos_i, feat_j, pos_j, init,
+                        img_hw, kw_items, ds=1):
+    """Half of :func:`_match_symmetric_fused`: decode direction (i, j) +
+    heads + the i→j matcher in ONE program (row 0 of the symmetric path,
+    bit-identical computation). Returns ``(idx_i2j, valid_j, Qii, Qji)``."""
+    res_ii, res_ji = M.decode_heads(params, cfg, feat_i, pos_i, feat_j,
+                                    pos_j, img_hw)
+    Xii = _decimate(res_ii["pts3d"], ds, h_axis=1)
+    Xji = _decimate(res_ji["pts3d"], ds, h_axis=1)
+    Dii = _decimate(res_ii["desc"], ds, h_axis=1)
+    Dji = _decimate(res_ji["desc"], ds, h_axis=1)
+    Qii = _decimate(res_ii["desc_conf"], ds, h_axis=1)
+    Qji = _decimate(res_ji["desc_conf"], ds, h_axis=1)
+    kw = dict(kw_items)
+    b, h, w, _ = Xii.shape
+    idx, valid = matching.match(Xii, Xji, Dii, Dji, idx_1_to_2_init=init,
+                                **kw)
+    return idx, valid, Qii.reshape(b, h * w), Qji.reshape(b, h * w)
 
 
 @partial(jax.jit, static_argnames=("cfg", "img_hw", "ds"))

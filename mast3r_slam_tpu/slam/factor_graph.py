@@ -788,11 +788,23 @@ class FactorGraph:
             init_i2j, init_j2i = _geo_match_init(X_i, X_j, T_i, T_j,
                                                  (kf.h, kf.w))
 
-        if init_hint is not None:
-            hi, hj, hidx = init_hint
+        # Hint handling. A 5-tuple hint (i, j, idx_j2i, valid_i, Qi) REUSES
+        # the tracker's converged frame→keyframe match as the whole j→i
+        # direction of the consecutive edge: the tracker's decode
+        # (frame=j ↔ keyframe=i) and matcher are bit-identical computations
+        # to what match_symmetric would redo for that direction, so the
+        # event pays only the (i, j) decode + one matcher (match_oneway) —
+        # roughly half the edge-creation device time. A legacy 3-tuple
+        # (i, j, idx_j2i) only warm-starts the full symmetric matcher.
+        reuse_row = None
+        if init_hint is not None and not is_reloc:
+            hi, hj = init_hint[0], init_hint[1]
             rows = [r for r in range(len(ii_new))
                     if int(ii_new[r]) == int(hi) and int(jj_new[r]) == int(hj)]
-            if rows:
+            if rows and len(init_hint) == 5 and self.mesh is None \
+                    and hasattr(self.model, "match_oneway"):
+                reuse_row = rows[0]
+            elif rows:
                 n = self.n_pix
                 if init_i2j is None:
                     init_i2j = jnp.broadcast_to(
@@ -801,16 +813,59 @@ class FactorGraph:
                 # the tracker's CONVERGED correspondence beats the geometric
                 # projection for its (consecutive) edge
                 init_i2j = init_i2j.at[rows[0]].set(
-                    jnp.asarray(hidx).reshape(-1)[:n].astype(jnp.int32))
+                    jnp.asarray(init_hint[2]).reshape(-1)[:n]
+                    .astype(jnp.int32))
 
-        (idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij) = (
-            self.model.match_symmetric(feat_i, pos_i, feat_j, pos_j, img_hw,
-                                       init_i2j=init_i2j, init_j2i=init_j2i)
-        )
+        if reuse_row is not None:
+            r = reuse_row
+            n = self.n_pix
+            full = [k for k in range(len(ii_new)) if k != r]
+            # i→j direction of the hint edge: half-decode + one matcher
+            idx1, vj1, Qii1, Qji1 = self.model.match_oneway(
+                feat_i[r:r + 1], pos_i[r:r + 1], feat_j[r:r + 1],
+                pos_j[r:r + 1], img_hw,
+                init_i2j=None if init_i2j is None else init_i2j[r:r + 1])
+            Qj1 = jnp.sqrt(Qii1[0][idx1[0]] * Qji1[0])[None, :, None]
+            idx2 = jnp.asarray(init_hint[2]).reshape(1, n).astype(jnp.int32)
+            vi1 = jnp.asarray(init_hint[3]).reshape(1, n, 1)
+            Qi1 = jnp.asarray(init_hint[4], jnp.float32).reshape(1, n, 1)
+            if full:
+                fj = jnp.asarray(full)
+                (fidx_i2j, fidx_j2i, fvalid_j, fvalid_i, fQii, fQjj, fQji,
+                 fQij) = self.model.match_symmetric(
+                    feat_i[fj], pos_i[fj], feat_j[fj], pos_j[fj], img_hw,
+                    init_i2j=None if init_i2j is None else init_i2j[fj],
+                    init_j2i=None if init_j2i is None else init_j2i[fj])
+                fb = jnp.arange(fidx_i2j.shape[0])[:, None]
+                fQj = jnp.sqrt(fQii[fb, fidx_i2j] * fQji)
+                fQi = jnp.sqrt(fQjj[fb, fidx_j2i] * fQij)
 
-        b_idx = jnp.arange(idx_i2j.shape[0])[:, None]
-        Qj = jnp.sqrt(Qii[b_idx, idx_i2j] * Qji)
-        Qi = jnp.sqrt(Qjj[b_idx, idx_j2i] * Qij)
+                def merge(hint_v, full_v):
+                    out = [None] * len(ii_new)
+                    out[r] = hint_v[0]
+                    for k, row in enumerate(full):
+                        out[row] = full_v[k]
+                    return jnp.stack(out)
+
+                idx_i2j = merge(idx1, fidx_i2j)
+                idx_j2i = merge(idx2, fidx_j2i)
+                valid_j = merge(vj1, fvalid_j)
+                valid_i = merge(vi1, fvalid_i)
+                Qj = merge(Qj1, fQj)
+                Qi = merge(Qi1, fQi)
+            else:
+                idx_i2j, idx_j2i = idx1, idx2
+                valid_j, valid_i = vj1, vi1
+                Qj, Qi = Qj1, Qi1
+        else:
+            (idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij) = (
+                self.model.match_symmetric(feat_i, pos_i, feat_j, pos_j,
+                                           img_hw, init_i2j=init_i2j,
+                                           init_j2i=init_j2i)
+            )
+            b_idx = jnp.arange(idx_i2j.shape[0])[:, None]
+            Qj = jnp.sqrt(Qii[b_idx, idx_i2j] * Qji)
+            Qi = jnp.sqrt(Qjj[b_idx, idx_j2i] * Qij)
 
         valid_j_full = valid_j & (Qj > self.cfg["Q_conf"])
         valid_i_full = valid_i & (Qi > self.cfg["Q_conf"])

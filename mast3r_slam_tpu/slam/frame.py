@@ -289,17 +289,23 @@ class States:
         self.edges_ii: list[int] = []
         self.edges_jj: list[int] = []
         self.current_frame: Optional[Frame] = None
-        # (i, j) -> idx_j_pixels->i_pixels warm start for the backend's
-        # consecutive-edge matcher (set at keyframe creation, consumed once)
+        # (i, j, idx_j2i[, valid_i, Q_i]) — the tracker's converged match at
+        # keyframe creation, consumed once by the backend: the 5-tuple form
+        # lets add_factors REUSE it as the consecutive edge's whole j→i
+        # direction (half the edge-creation decode)
         self.kf_match_hint: Optional[tuple] = None
 
     def set_frame(self, frame: Frame):
         with self.lock:
             self.current_frame = frame
 
-    def set_kf_match_hint(self, i: int, j: int, idx_j2i) -> None:
+    def set_kf_match_hint(self, i: int, j: int, idx_j2i, valid_i=None,
+                          Q_i=None) -> None:
         with self.lock:
-            self.kf_match_hint = (i, j, idx_j2i)
+            if valid_i is not None and Q_i is not None:
+                self.kf_match_hint = (i, j, idx_j2i, valid_i, Q_i)
+            else:
+                self.kf_match_hint = (i, j, idx_j2i)
 
     def take_kf_match_hint(self):
         with self.lock:

@@ -534,10 +534,14 @@ class FrameTracker:
         new_kf = min(float(out["match_frac_k"]),
                      float(out["unique_frac_f"])) < cfg["match_frac_thresh"]
         if new_kf:
-            # keep this frame's converged correspondence against the current
-            # keyframe: when the frame becomes keyframe kf_idx+1, the backend
-            # warm-starts the consecutive edge's matcher with it
-            self.last_kf_match = (kf_idx, out["idx_f2k"])
+            # keep this frame's converged match against the current keyframe:
+            # when the frame becomes keyframe kf_idx+1, the backend REUSES it
+            # as the whole j→i direction of the consecutive edge (the
+            # tracker's decode+match is bit-identical to what the symmetric
+            # path would recompute — see FactorGraph.add_factors) — the
+            # fused Qk is exactly the edge's Q_jj2ii channel
+            self.last_kf_match = (kf_idx, out["idx_f2k"],
+                                  out["valid_match"], out["Qk"])
             self.reset_idx_f2k()
 
         return (

@@ -276,3 +276,84 @@ def test_inference_downsample_decimates_working_outputs():
     hw1 = fr1.img_true_shape
     Xg = np.asarray(X1).reshape(1, hw1[0], hw1[1], 3)[:, ::2, ::2]
     np.testing.assert_array_equal(Xg.reshape(1, -1, 3), np.asarray(X2))
+
+
+def test_add_factors_reuse_hint_matches_full_symmetric():
+    """A 5-tuple keyframe-match hint (tracker-reused j→i direction +
+    match_oneway for i→j) builds the same edge as the full symmetric
+    decode+match path — the reused direction is the identical computation,
+    so only decode-batch reduction order can differ."""
+    from mast3r_slam_tpu.models.inference import MASt3RInference
+    from mast3r_slam_tpu.slam.factor_graph import FactorGraph
+    from mast3r_slam_tpu.slam.frame import Frame, KeyframeBuffer
+    from mast3r_slam_tpu.ops import lie
+
+    cfg = M.tiny_config()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    H, W = 32, 48
+    n = H * W
+    n_tok = (H // 16) * (W // 16)
+    model = MASt3RInference(params, cfg, {"radius": 1, "dilation_max": 2})
+
+    kfs = KeyframeBuffer(H, W, capacity=4, feat_dim=cfg.enc_embed_dim)
+    key = jax.random.PRNGKey(3)
+    feats = [jax.random.normal(jax.random.fold_in(key, i),
+                               (1, n_tok, cfg.enc_embed_dim))
+             for i in range(2)]
+    pos = M.patch_positions(H // 16, W // 16, 1)
+    for i in range(2):
+        fr = Frame(frame_id=i, img=jnp.zeros((H, W, 3)), img_shape=(H, W),
+                   img_true_shape=(H, W),
+                   uimg=np.zeros((H, W, 3), np.float32))
+        fr.X_canon = jnp.asarray(
+            np.random.default_rng(i).random((n, 3)) + [0, 0, 2.0],
+            jnp.float32)
+        fr.C = jnp.ones((n, 1))
+        fr.feat = feats[i]
+        fr.pos = pos
+        fr.N = 1
+        fr.T_WC = lie.identity()
+        kfs.append(fr)
+
+    local_cfg = {"local_opt": {
+        "min_match_frac": 0.0, "Q_conf": 0.0, "C_conf": 0.0, "pin": 1,
+        "max_iters": 2, "sigma_ray": 0.003, "sigma_dist": 10.0,
+        "sigma_pixel": 1.0, "sigma_depth": 10.0, "delta_norm": 1e-8,
+        "pixel_border": 3, "depth_eps": 1e-6, "warm_start_geo": False,
+    }}
+
+    g_full = FactorGraph(model, kfs, local_cfg)
+    assert g_full.add_factors([0], [1], 0.0)
+
+    # simulate the tracker's stored match: decode (j=1, i=0) + match = the
+    # j→i direction, fused Q exactly as track_core computes Qk
+    idx_j2i, valid_i, Qjj, Qij = model.match_oneway(
+        feats[1], pos, feats[0], pos, (H, W))
+    Qi = jnp.sqrt(Qjj[0][idx_j2i[0]] * Qij[0])[:, None]
+
+    g_hint = FactorGraph(model, kfs, local_cfg)
+    assert g_hint.add_factors(
+        [0], [1], 0.0,
+        init_hint=(0, 1, idx_j2i[0], valid_i[0], Qi))
+
+    # hint data passes through VERBATIM (the production tracker's match)
+    np.testing.assert_array_equal(np.asarray(g_hint.idx_jj2ii[0]),
+                                  np.asarray(idx_j2i[0]))
+    np.testing.assert_array_equal(np.asarray(g_hint.valid_match_i[0]),
+                                  np.asarray(valid_i[0]))
+    np.testing.assert_allclose(np.asarray(g_hint.Q_jj2ii[0]),
+                               np.asarray(Qi), rtol=1e-6)
+    # vs the full symmetric path: identical computations at a different
+    # decode batch size (B=1 like the tracker/reference vs the fused B=2
+    # batch) — only bf16 reduction order can move a correspondence
+    for a, b in ((g_hint.idx_jj2ii, g_full.idx_jj2ii),
+                 (g_hint.idx_ii2jj, g_full.idx_ii2jj)):
+        agree = (np.asarray(a) == np.asarray(b)).mean()
+        assert agree > 0.97, agree
+    for qa, qb, ia, ib in (
+        (g_hint.Q_jj2ii, g_full.Q_jj2ii, g_hint.idx_jj2ii, g_full.idx_jj2ii),
+        (g_hint.Q_ii2jj, g_full.Q_ii2jj, g_hint.idx_ii2jj, g_full.idx_ii2jj),
+    ):
+        same = (np.asarray(ia) == np.asarray(ib))[..., None]
+        np.testing.assert_allclose(np.asarray(qa)[same], np.asarray(qb)[same],
+                                   rtol=0.05, atol=0.05)
