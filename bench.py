@@ -124,15 +124,18 @@ def main():
                                         level_step=2)  # production default
         idx0 = idx_f2k[0]
         vmatch = valid[0]
-        Xf = Xff.reshape(n_pix, 3)[idx0]
         Xk = Xkf.reshape(n_pix, 3)
         Cff = res_ff["conf"].reshape(n_pix, 1)
         Ckf = res_kf["conf"].reshape(n_pix, 1)
-        Qk = jnp.sqrt(res_ff["desc_conf"].reshape(-1)[idx0]
-                      * res_kf["desc_conf"].reshape(-1))[:, None]
+        # ONE row gather for every frame-side channel, as track_core does
+        fch = jnp.concatenate(
+            [Xff.reshape(n_pix, 3), Cff,
+             res_ff["desc_conf"].reshape(n_pix, 1)], axis=-1)[idx0]
+        Xf, Cf, Qf = fch[:, 0:3], fch[:, 3:4], fch[:, 4:5]
+        Qk = jnp.sqrt(Qf * res_kf["desc_conf"].reshape(n_pix, 1))
         # production masks + solver parameters (config/base.yaml tracking.*)
         Ck_avg = C_k / jnp.maximum(N_k, 1.0)
-        valid_opt = vmatch & (Cff[idx0] > 0.0) & (Ck_avg > 0.0) & (Qk > 1.5)
+        valid_opt = vmatch & (Cf > 0.0) & (Ck_avg > 0.0) & (Qk > 1.5)
         valid_kf = vmatch & (Qk > 1.5)
         match_frac = jnp.mean(valid_opt.astype(jnp.float32))
         T_WCf, T_CkCf, ok = opt_pose_ray_dist_sim3(

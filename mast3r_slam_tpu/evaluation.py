@@ -225,18 +225,29 @@ def main_ape(argv=None):
 
 
 def load_tum_traj(path):
-    """TUM trajectory file → (timestamps (N,), t (N, 3), q (N, 4) xyzw)."""
+    """Trajectory file → (timestamps (N,), t (N, 3), q (N, 4) xyzw).
+
+    Reads TUM format (``t x y z qx qy qz qw``, seconds) and the EuRoC
+    ``state_groundtruth_estimate0/data.csv`` format (nanosecond timestamps,
+    quaternion in w-first order) — detected by the timestamp magnitude, so
+    ``eval_euroc.sh``'s raw-CSV fallback scores correctly without a
+    converted groundtruth file.
+    """
     rows = []
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if not line or line.startswith("#"):
+            if not line or line.startswith("#") or line.startswith("ts"):
                 continue
             vals = [float(v) for v in line.replace(",", " ").split()]
             if len(vals) >= 8:
                 rows.append(vals[:8])
     arr = np.asarray(rows, np.float64)
-    return arr[:, 0], arr[:, 1:4], arr[:, 4:8]
+    ts, t, q = arr[:, 0], arr[:, 1:4], arr[:, 4:8]
+    if ts.size and ts.max() > 1e14:  # nanoseconds → the EuRoC CSV layout
+        ts = ts / 1e9
+        q = q[:, [1, 2, 3, 0]]       # wxyz → xyzw
+    return ts, t, q
 
 
 def associate(ts_a, ts_b, max_diff=0.02):

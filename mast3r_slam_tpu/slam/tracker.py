@@ -285,7 +285,6 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
     )
     idx0 = idx_f2k[0]
     vmatch = valid_match[0]                                   # (n, 1)
-    Qk = jnp.sqrt(Qff[idx0] * Qkf)[:, None]                   # (n, 1)
 
     # -- masks / coverage ------------------------------------------------------
     Cf_avg = Cff[0]
@@ -304,8 +303,12 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
         meas_k = jnp.where(valid_meas_k,
                            jnp.concatenate([uv_k, logz], axis=-1), 0.0)
 
-    Xf = Xf_all[idx0]
-    Cf = Cf_avg[idx0]
+    # ONE row gather at idx0 for every frame-side channel (X, C, Q): TPU
+    # gathers are row-rate-bound, so three separate 196k-row gathers cost
+    # ~3x one 5-channel-row gather (docs/PERFORMANCE.md rule 2)
+    fch = jnp.concatenate([Xf_all, Cf_avg, Qff[:, None]], axis=-1)[idx0]
+    Xf, Cf, Qf = fch[:, 0:3], fch[:, 3:4], fch[:, 4:5]
+    Qk = jnp.sqrt(Qf * Qkf[:, None])                          # (n, 1)
     valid_opt = (vmatch & (Cf > C_conf) & (Ck_avg > C_conf) & (Qk > Q_conf))
     valid_kf = vmatch & (Qk > Q_conf)
     match_frac = jnp.mean(valid_opt.astype(jnp.float32))

@@ -158,3 +158,39 @@ def test_against_evo_if_available(tmp_path):
     ape.process_data((gt, es))
     evo_rmse = ape.get_statistic(metrics.StatisticsType.rmse)
     assert abs(ours["rmse"] - evo_rmse) < 1e-6 + 0.05 * evo_rmse
+
+
+def test_euroc_csv_groundtruth_scores_like_tum(tmp_path):
+    """The EuRoC state_groundtruth CSV (ns timestamps, wxyz quaternions)
+    scores identically to the same trajectory in TUM format — the
+    eval_euroc.sh raw-CSV fallback path."""
+    rng = np.random.default_rng(4)
+    n = 40
+    ts = 1.4e9 + np.arange(n) / 20.0
+    t = np.cumsum(rng.normal(scale=0.01, size=(n, 3)), axis=0)
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)  # xyzw
+
+    tum = tmp_path / "gt_tum.txt"
+    tum.write_text("\n".join(
+        f"{ts[i]:.6f} {t[i,0]} {t[i,1]} {t[i,2]} "
+        f"{q[i,0]} {q[i,1]} {q[i,2]} {q[i,3]}" for i in range(n)))
+    csv = tmp_path / "data.csv"
+    csv.write_text(
+        "#timestamp [ns],p_RS_R_x,p_RS_R_y,p_RS_R_z,q_RS_w,q_RS_x,"
+        "q_RS_y,q_RS_z,extra\n" + "\n".join(
+            f"{int(ts[i]*1e9)},{t[i,0]},{t[i,1]},{t[i,2]},"
+            f"{q[i,3]},{q[i,0]},{q[i,1]},{q[i,2]},0.0" for i in range(n)))
+
+    est = tmp_path / "est.txt"
+    t_e = t + rng.normal(scale=0.005, size=t.shape)
+    est.write_text("\n".join(
+        f"{ts[i]:.6f} {t_e[i,0]} {t_e[i,1]} {t_e[i,2]} "
+        f"{q[i,0]} {q[i,1]} {q[i,2]} {q[i,3]}" for i in range(n)))
+
+    from mast3r_slam_tpu.evaluation import ate_rmse
+
+    r_tum = ate_rmse(str(tum), str(est), align=True, scale=True)
+    r_csv = ate_rmse(str(csv), str(est), align=True, scale=True)
+    assert r_csv["n_pairs"] == r_tum["n_pairs"] == n
+    np.testing.assert_allclose(r_csv["rmse"], r_tum["rmse"], rtol=1e-9)
