@@ -326,7 +326,7 @@ def _e2e_section(env):
         return refine_blocks_core(
             Xv, Xv, conf_tsdf, T_tsdf, sel_tsdf, mask_sel,
             grid_origins, voxel_sizes, 0.08, 0.1, 0.01, 0.015, 64, (H, W),
-            64)
+            64, cell_walk_k=16)  # 5cm voxels, ±0.1 band → ≤10 cells/ray
 
     @jax.jit
     def backend_decode(params, feat_a, feat_b_base, rj, idx_warm):

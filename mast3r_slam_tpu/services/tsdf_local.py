@@ -128,17 +128,46 @@ def build_block_tsdf_projective(X_cam, conf, T_WC, grid_origin, voxel_size,
     ui = jnp.clip(jnp.round(u), 0, W - 1).astype(jnp.int32)
     vi = jnp.clip(jnp.round(v), 0, H - 1).astype(jnp.int32)
     pix = vi * W + ui
-    R = range_img[pix]
-    c = conf[pix]
+    # one 2-channel row gather instead of two scalar-row gathers (gathers
+    # are row-rate-bound; the row count, not width, sets the cost)
+    rc = jnp.stack([range_img, conf], axis=-1)[pix]                   # (G³, 2)
+    R, c = rc[..., 0], rc[..., 1]
     sdf = (R - r) / trunc
     w = jnp.where(inb, c * jnp.maximum(1.0 - jnp.abs(sdf), 0.0), 0.0)
     tsdf = jnp.where(w > 0, sdf, 1.0)
     return tsdf.reshape(G, G, G), w.reshape(G, G, G)
 
 
-@partial(jax.jit, static_argnames=("n_samples",))
+def _rows_cellwalk(packed, lin, K):
+    """Gather each ray's ≤K distinct trilinear-cell rows ONCE and broadcast
+    them back to all samples in-register.
+
+    ``lin (P, S)``: per-sample cell ids, visited monotonically along the ray
+    (the sample step is millimetres while cells are ≥ the voxel size, so
+    runs of consecutive samples share a cell — the dense form gathers the
+    SAME row ~voxel/step times). Run-length boundaries index each sample
+    into its ray's ≤K distinct cells; the only HBM gather is (P, K) rows
+    (~S/K× fewer), and the sample broadcast is a one-hot MXU contraction.
+    Bit-identical rows to ``packed[lin]`` whenever the ray truly visits ≤K
+    cells (the caller guarantees it statically from band/voxel).
+    """
+    P, S = lin.shape
+    new = jnp.concatenate(
+        [jnp.ones((P, 1), bool), lin[:, 1:] != lin[:, :-1]], axis=1)
+    idx_k = jnp.minimum(jnp.cumsum(new.astype(jnp.int32), axis=1) - 1,
+                        K - 1)                                   # (P, S)
+    onehot = (idx_k[:, :, None]
+              == jnp.arange(K, dtype=jnp.int32)[None, None, :])  # (P, S, K)
+    first_s = jnp.argmax(onehot, axis=1)                         # (P, K)
+    lin_k = jnp.take_along_axis(lin, first_s, axis=1)            # (P, K)
+    rows_k = packed[lin_k]                                       # (P, K, C)
+    return jnp.einsum("psk,pkc->psc", onehot.astype(packed.dtype), rows_k)
+
+
+@partial(jax.jit, static_argnames=("n_samples", "cell_walk_k"))
 def raycast_block(tsdf, weight, points, mask, origin_cam, grid_origin,
-                  voxel_size, band, min_weight, max_displacement, n_samples):
+                  voxel_size, band, min_weight, max_displacement, n_samples,
+                  cell_walk_k=0):
     """Refine each point by raycasting the local TSDF around its depth.
 
     ``points (P, 3)`` current world points (``mask (P,)`` selects the block's
@@ -177,7 +206,12 @@ def raycast_block(tsdf, weight, points, mask, origin_cam, grid_origin,
     p0 = jnp.floor(p).astype(jnp.int32)          # ≤ G-2: rolls never wrap
     f = p - p0
     lin = (p0[..., 0] * G + p0[..., 1]) * G + p0[..., 2]
-    rows = packed[lin]                            # (P, S, 16)
+    if cell_walk_k:
+        # per-ray distinct-cell gather (≤cell_walk_k cells) — ~4x fewer
+        # gather rows at production band/voxel; bit-identical rows
+        rows = _rows_cellwalk(packed, lin, cell_walk_k)
+    else:
+        rows = packed[lin]                        # (P, S, 16)
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
     wts = [((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
             * (fz if dz else 1 - fz))
@@ -226,10 +260,10 @@ def build_blocks_tsdf_projective(X_cam, conf, T_WC, grid_origins,
     )(grid_origins, voxel_sizes)
 
 
-@partial(jax.jit, static_argnames=("n_samples",))
+@partial(jax.jit, static_argnames=("n_samples", "cell_walk_k"))
 def raycast_blocks(tsdf, weight, points, mask, origin_cam, grid_origins,
                    voxel_sizes, band, min_weight, max_displacement,
-                   n_samples):
+                   n_samples, cell_walk_k=0):
     """Batched :func:`raycast_block` over B same-keyframe blocks.
 
     ``points (B, P, 3)`` / ``mask (B, P)`` are each block's pixel bucket
@@ -238,14 +272,16 @@ def raycast_blocks(tsdf, weight, points, mask, origin_cam, grid_origins,
     return jax.vmap(
         lambda t, w, p, m, o, v: raycast_block(
             t, w, p, m, origin_cam, o, v, band, min_weight,
-            max_displacement, n_samples)
+            max_displacement, n_samples, cell_walk_k)
     )(tsdf, weight, points, mask, grid_origins, voxel_sizes)
 
 
-@partial(jax.jit, static_argnames=("grid_dim", "img_size", "n_samples"))
+@partial(jax.jit, static_argnames=("grid_dim", "img_size", "n_samples",
+                                   "cell_walk_k"))
 def refine_blocks_core(Xw, X_cam, conf, T_WC, sel_j, mask, grid_origins,
                        voxel_sizes, trunc, band, min_weight,
-                       max_displacement, grid_dim, img_size, n_samples):
+                       max_displacement, grid_dim, img_size, n_samples,
+                       cell_walk_k=0):
     """Batched build + block-pixel gather + batched raycast as ONE program.
 
     Every per-keyframe-event device computation between the pose snapshot
@@ -264,7 +300,7 @@ def refine_blocks_core(Xw, X_cam, conf, T_WC, sel_j, mask, grid_origins,
     return jax.vmap(
         lambda t, w, p, m, o, v: raycast_block(
             t, w, p, m, origin_cam, o, v, band, min_weight,
-            max_displacement, n_samples)
+            max_displacement, n_samples, cell_walk_k)
     )(tsdf, weight, pts, mask, grid_origins, voxel_sizes)
 
 
@@ -669,11 +705,18 @@ class TSDFRefiner:
         # Projective voxel-parallel builds (gather-only; the sample-scatter
         # kernel serializes on colliding voxel indices — seconds per block
         # at production scale) + block-pixel gather + raycasts, fused into
-        # ONE device program for the whole keyframe event.
+        # ONE device program for the whole keyframe event. Cell-walk raycast
+        # (distinct-cell rows gathered once per ray) whenever every block's
+        # rays provably visit ≤ K cells within the ±band — host-static
+        # decision from the already-computed per-block voxel sizes.
+        K = 16
+        band = 0.1
+        cw = K if (2.0 * band * np.sqrt(3.0) / max(float(voxels.min()), 1e-9)
+                   + 4 <= K) else 0
         new_sel, refined_sel = refine_blocks_core(
             Xw, X, conf, T_WC, sel_j, jnp.asarray(mask_pad), grid_origins,
-            voxel_sizes, self.trunc, 0.1, self.min_weight, self.max_disp,
-            G, (kf.h, kf.w), self.ray_samples,
+            voxel_sizes, self.trunc, band, self.min_weight, self.max_disp,
+            G, (kf.h, kf.w), self.ray_samples, cell_walk_k=cw,
         )
         refined_all = np.asarray(refined_sel)           # (B, P)
 

@@ -332,3 +332,29 @@ def test_refine_blocks_core_matches_two_call_path():
     np.testing.assert_array_equal(np.asarray(ok_f), np.asarray(ok_2))
     np.testing.assert_allclose(np.asarray(new_f), np.asarray(new_2),
                                atol=1e-6)
+
+
+def test_cellwalk_raycast_matches_dense():
+    """The distinct-cell ('cell-walk') raycast gathers each ray's ≤K cell
+    rows once and must reproduce the dense per-sample-gather path exactly
+    (same rows, same trilinear weights — only float-assoc noise allowed)."""
+    from mast3r_slam_tpu.services.tsdf_local import raycast_block
+
+    X, (H, W) = _plane_pointmap()
+    G, S, P = 16, 64, 128
+    rng2 = np.random.default_rng(9)
+    tsdf = jnp.asarray(rng2.normal(size=(G, G, G)).astype(np.float32))
+    weight = jnp.asarray(rng2.uniform(0.0, 1.0, (G, G, G)).astype(np.float32))
+    pts = jnp.asarray(np.asarray(X)[rng2.integers(0, H * W, P)])
+    mask = jnp.asarray(rng2.random(P) > 0.1)
+    origin_cam = jnp.zeros(3)
+    grid_origin = jnp.asarray([-0.5, -0.5, 0.6], jnp.float32)
+    # voxel 6cm, band ±0.1 → ≤ 2*0.1*sqrt(3)/0.06+4 ≈ 9.8 distinct cells
+    args = (origin_cam, grid_origin, jnp.float32(0.06), 0.1, 0.01, 0.05, S)
+
+    new_d, ok_d = raycast_block(tsdf, weight, pts, mask, *args)
+    new_c, ok_c = raycast_block(tsdf, weight, pts, mask, *args,
+                                cell_walk_k=16)
+    np.testing.assert_array_equal(np.asarray(ok_c), np.asarray(ok_d))
+    np.testing.assert_allclose(np.asarray(new_c), np.asarray(new_d),
+                               atol=1e-5)
