@@ -181,10 +181,13 @@ class MASt3RInference:
 
         Returns ``(idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij)``
         — reference mast3r_utils.py:142-180 semantics. ``init_i2j`` /
-        ``init_j2i (B, N)`` optionally warm-start the matcher rows per
-        direction (the tracker's converged correspondence for a consecutive
-        edge, or the pose-projected geometric init for loop-closure edges);
-        a missing direction cold-starts from identity.
+        ``init_j2i (B, N)`` optionally warm-start the matcher per direction.
+        NOTE on the convention: matcher inits (like its outputs) are indexed
+        by IMAGE-2 pixels and hold image-1 pixels, so ``init_i2j`` — the
+        init for the direction whose output is ``idx_i2j`` — must map
+        j-pixels → i-pixels (e.g. the pose projection of keyframe j's
+        points into camera i), and vice versa. A missing direction
+        cold-starts from identity.
         """
         b = feat_i.shape[0]
         # n is the WORKING pixel count (img_hw is the model resolution; the

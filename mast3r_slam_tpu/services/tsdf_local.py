@@ -161,7 +161,18 @@ def _rows_cellwalk(packed, lin, K):
     first_s = jnp.argmax(onehot, axis=1)                         # (P, K)
     lin_k = jnp.take_along_axis(lin, first_s, axis=1)            # (P, K)
     rows_k = packed[lin_k]                                       # (P, K, C)
-    return jnp.einsum("psk,pkc->psc", onehot.astype(packed.dtype), rows_k)
+    # A non-finite cell row would poison EVERY sample of the ray through
+    # the one-hot contraction (0·NaN = NaN), where the dense path only
+    # invalidates the samples actually inside that cell: sanitize the rows
+    # for the matmul and report per-sample badness so the caller can
+    # invalidate exactly those samples (pointmaps may legally contain some
+    # non-finite points — the block gate tolerates up to 50%).
+    bad_k = ~jnp.isfinite(rows_k).all(axis=-1)                   # (P, K)
+    rows_k = jnp.nan_to_num(rows_k)
+    oh = onehot.astype(packed.dtype)
+    rows = jnp.einsum("psk,pkc->psc", oh, rows_k)
+    bad_s = jnp.einsum("psk,pk->ps", oh, bad_k.astype(packed.dtype)) > 0
+    return rows, bad_s
 
 
 @partial(jax.jit, static_argnames=("n_samples", "cell_walk_k"))
@@ -209,15 +220,21 @@ def raycast_block(tsdf, weight, points, mask, origin_cam, grid_origin,
     if cell_walk_k:
         # per-ray distinct-cell gather (≤cell_walk_k cells) — ~4x fewer
         # gather rows at production band/voxel; bit-identical rows
-        rows = _rows_cellwalk(packed, lin, cell_walk_k)
+        rows, bad_s = _rows_cellwalk(packed, lin, cell_walk_k)
     else:
         rows = packed[lin]                        # (P, S, 16)
+        bad_s = None
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
     wts = [((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
             * (fz if dz else 1 - fz))
            for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
     phi = sum(wts[c] * rows[..., c] for c in range(8))                 # (P, S)
     wgt = sum(wts[c] * rows[..., 8 + c] for c in range(8))
+    if bad_s is not None:
+        # cell-walk sanitized non-finite cells: invalidate exactly the
+        # samples inside them (the dense path's NaN weight fails the
+        # min_weight comparison the same way)
+        wgt = jnp.where(bad_s, 0.0, wgt)
     valid_s = wgt > min_weight
 
     # first sign change + → − along the ray with both endpoints valid

@@ -673,15 +673,19 @@ def gauss_newton_calib(T_WC, meas, K, ii, jj, edge_mask, free_mask, img_size,
 def _geo_match_init(X_i, X_j, T_i, T_j, img_hw):
     """Pose-projected matcher inits for both directions of B edges.
 
-    For each pixel of keyframe i, the init index in j is the projection of
-    its canonical point through ``T_j^{-1} T_i`` and j's estimated pinhole
-    focal (and vice versa). ``X (B, N, 3)``, ``T (B, 8)``.
+    ``matching.match(X11, X21, init)`` expects one init entry PER IMAGE-2
+    PIXEL giving a pixel of image 1 (the matcher projects image-2 targets
+    into image 1 — see the tracker's ``Xf = Xf_all[idx0]`` usage). So the
+    init for the direction whose output is ``idx_ii2jj``
+    (``match(Xii, Xji)``: j-pixels → i-pixels) is the projection of
+    keyframe j's points into camera i, and vice versa.
+    ``X (B, N, 3)``, ``T (B, 8)``. Returns ``(init_ii2jj, init_jj2ii)``.
     """
     f_i = geometry.estimate_focal(X_i, img_hw)
     f_j = geometry.estimate_focal(X_j, img_hw)
-    init_i2j = geometry.project_to_index(X_i, T_i, T_j, f_j, img_hw)
-    init_j2i = geometry.project_to_index(X_j, T_j, T_i, f_i, img_hw)
-    return init_i2j, init_j2i
+    init_ii2jj = geometry.project_to_index(X_j, T_j, T_i, f_i, img_hw)
+    init_jj2ii = geometry.project_to_index(X_i, T_i, T_j, f_j, img_hw)
+    return init_ii2jj, init_jj2ii
 
 
 def _bucket(n, minimum=8):
@@ -751,9 +755,19 @@ class FactorGraph:
 
         Returns True if at least one edge was added. In strict-reloc mode the
         whole batch is rejected if ANY edge is invalid (reference
-        global_opt.py:78-79). ``init_hint``: optional ``(i, j, idx_j2i)``
-        warm start — the edge (i, j) in this batch gets the tracker's
-        converged correspondence as its i→j matcher init.
+        global_opt.py:78-79).
+
+        ``init_hint`` (optional) carries the tracker's converged
+        frame→keyframe match for the consecutive edge ``(i, j)``:
+
+        - 5-tuple ``(i, j, idx_j2i, valid_i, Q_i)`` — REUSED verbatim as
+          the edge's whole j→i direction (``idx_j2i (N,)`` maps i-pixels →
+          j-pixels; ``valid_i (N, 1)`` the matcher's valid mask; ``Q_i
+          (N, 1)`` the fused ``sqrt(Qjj[idx]·Qij)`` the tracker already
+          computed). The event then runs only the (i, j) half-decode + one
+          matcher (``model.match_oneway``). Single-device path only.
+        - legacy 3-tuple ``(i, j, idx_j2i)`` — warm-starts the full
+          symmetric matcher's j→i direction instead.
         """
         if len(ii_new) == 0:
             return False
@@ -806,13 +820,15 @@ class FactorGraph:
                 reuse_row = rows[0]
             elif rows:
                 n = self.n_pix
-                if init_i2j is None:
-                    init_i2j = jnp.broadcast_to(
+                if init_j2i is None:
+                    init_j2i = jnp.broadcast_to(
                         jnp.arange(n, dtype=jnp.int32)[None],
                         (len(ii_new), n))
                 # the tracker's CONVERGED correspondence beats the geometric
-                # projection for its (consecutive) edge
-                init_i2j = init_i2j.at[rows[0]].set(
+                # projection for its (consecutive) edge. It maps i-pixels →
+                # j-pixels, i.e. it is an init for the matcher whose OUTPUT
+                # is idx_jj2ii (init entries are indexed by image-2 pixels).
+                init_j2i = init_j2i.at[rows[0]].set(
                     jnp.asarray(init_hint[2]).reshape(-1)[:n]
                     .astype(jnp.int32))
 

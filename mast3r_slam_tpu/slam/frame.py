@@ -307,9 +307,18 @@ class States:
             else:
                 self.kf_match_hint = (i, j, idx_j2i)
 
-    def take_kf_match_hint(self):
+    def take_kf_match_hint(self, i=None, j=None):
+        """Pop the stored hint. With ``(i, j)`` given, pop ONLY if it is for
+        that edge — a lagging backend must not consume (and discard) the
+        hint for keyframe N+1 while still processing keyframe N."""
         with self.lock:
-            hint, self.kf_match_hint = self.kf_match_hint, None
+            hint = self.kf_match_hint
+            if hint is None:
+                return None
+            if i is not None and (int(hint[0]) != int(i)
+                                  or int(hint[1]) != int(j)):
+                return None
+            self.kf_match_hint = None
             return hint
 
     def get_frame(self) -> Optional[Frame]:

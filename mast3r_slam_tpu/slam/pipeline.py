@@ -186,7 +186,10 @@ class Backend:
             self.graph.add_factors(
                 kf_idx, frame_idx,
                 float(self.cfg.get("local_opt", {}).get("min_match_frac", 0.1)),
-                init_hint=self.states.take_kf_match_hint(),
+                # consume the tracker hint only if it is for THIS keyframe's
+                # consecutive edge (a lagging backend would otherwise burn
+                # keyframe N+1's hint while processing keyframe N)
+                init_hint=self.states.take_kf_match_hint(idx - 1, idx),
             )
         self.states.set_edges(list(self.graph.ii), list(self.graph.jj))
         if self.cfg.get("use_calib", False):

@@ -358,3 +358,31 @@ def test_cellwalk_raycast_matches_dense():
     np.testing.assert_array_equal(np.asarray(ok_c), np.asarray(ok_d))
     np.testing.assert_allclose(np.asarray(new_c), np.asarray(new_d),
                                atol=1e-5)
+
+
+def test_cellwalk_raycast_nonfinite_cells_match_dense():
+    """Non-finite voxel data (legal: pointmaps may contain NaN points) must
+    invalidate only the samples inside the bad cells, exactly like the
+    dense path — not poison whole rays through the one-hot contraction."""
+    from mast3r_slam_tpu.services.tsdf_local import raycast_block
+
+    X, (H, W) = _plane_pointmap()
+    G, S, P = 16, 64, 128
+    rng2 = np.random.default_rng(10)
+    tsdf = rng2.normal(size=(G, G, G)).astype(np.float32)
+    weight = rng2.uniform(0.0, 1.0, (G, G, G)).astype(np.float32)
+    # poison a slab of cells
+    tsdf[5:7, :, :] = np.nan
+    weight[9, 3:9, :] = np.nan
+    tsdf, weight = jnp.asarray(tsdf), jnp.asarray(weight)
+    pts = jnp.asarray(np.asarray(X)[rng2.integers(0, H * W, P)])
+    mask = jnp.asarray(rng2.random(P) > 0.1)
+    args = (jnp.zeros(3), jnp.asarray([-0.5, -0.5, 0.6], jnp.float32),
+            jnp.float32(0.06), 0.1, 0.01, 0.05, S)
+
+    new_d, ok_d = raycast_block(tsdf, weight, pts, mask, *args)
+    new_c, ok_c = raycast_block(tsdf, weight, pts, mask, *args,
+                                cell_walk_k=16)
+    np.testing.assert_array_equal(np.asarray(ok_c), np.asarray(ok_d))
+    np.testing.assert_allclose(np.asarray(new_c), np.asarray(new_d),
+                               atol=1e-5)
