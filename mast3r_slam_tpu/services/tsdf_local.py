@@ -514,7 +514,9 @@ class TSDFRefiner:
         if kf_id < 0 or kf_id >= len(self.keyframes):
             return
         h, w = self.keyframes.h, self.keyframes.w
-        ps = 16
+        # the patch grid must match the quality service's, or the shape
+        # guard in _patch_priority silently discards every quality result
+        ps = int(getattr(self.quality, "ps", 16)) if self.quality else 16
         gh, gw = h // ps, w // ps
         pri = self._patch_priority(kf_id, gh, gw)
         blocks = self._select_blocks(kf_id, pri, gh, gw, ps, h, w)
@@ -639,8 +641,15 @@ class TSDFRefiner:
         if pending is not None:
             # a different-keyframe task popped while grouping, orphaned by
             # stop_flag: put it back so the registry entry (still QUEUED)
-            # and the drain/queue accounting stay consistent
-            self.task_q.put(pending)
+            # and the drain/queue accounting stay consistent. Non-blocking:
+            # a full queue here would deadlock the worker against its own
+            # (stopped) consumer — close the registry entry instead.
+            try:
+                self.task_q.put_nowait(pending)
+            except queue.Full:
+                self.registry.mark_done(pending[0], False)
+                self.stats["dropped_tasks"] = (
+                    self.stats.get("dropped_tasks", 0) + 1)
 
     def _refine_block(self, blk: PatchBlock) -> bool:
         return self._refine_blocks([blk])[0]

@@ -750,7 +750,7 @@ class FactorGraph:
         return int(self.ii.shape[0])
 
     def add_factors(self, ii_new, jj_new, min_match_frac, is_reloc=False,
-                    init_hint=None):
+                    init_hint=None, allow_geo_init=True):
         """Symmetric-decode candidate edges; accept by bidirectional coverage.
 
         Returns True if at least one edge was added. In strict-reloc mode the
@@ -772,7 +772,13 @@ class FactorGraph:
         if len(ii_new) == 0:
             return False
         kf = self.keyframes
-        use_geo = not is_reloc and bool(self.cfg.get("warm_start_geo", True))
+        # ``allow_geo_init=False`` for relocalization calls regardless of
+        # reloc.strict: the candidate poses are exactly what is in question
+        # there, so projecting through them seeds the matcher WORSE than
+        # identity (``is_reloc`` is the reference's batch-strictness flag,
+        # which non-strict reloc legitimately passes as False).
+        use_geo = (allow_geo_init and not is_reloc
+                   and bool(self.cfg.get("warm_start_geo", True)))
         with kf.lock:
             feat_i = kf.feat[np.asarray(ii_new)]
             feat_j = kf.feat[np.asarray(jj_new)]

@@ -339,6 +339,14 @@ class States:
         with self.lock:
             self.reloc_sem += 1
 
+    def clear_reloc(self):
+        """Drop ALL queued reloc counts — after a successful relocalization
+        the remaining counts are stale attempts for the same lost-tracking
+        episode; leaking them keeps idle() false forever and would fire a
+        spurious relocalization on the NEXT tracking failure."""
+        with self.lock:
+            self.reloc_sem = 0
+
     def dequeue_reloc(self):
         with self.lock:
             if self.reloc_sem > 0:

@@ -81,6 +81,7 @@ def relocalization(frame: Frame, keyframes: KeyframeBuffer, factor_graph,
             frame_idx, kf_idx,
             float(rcfg.get("min_match_frac", 0.3)),
             is_reloc=bool(rcfg.get("strict", True)),
+            allow_geo_init=False,  # candidate poses are what's in question
         )
         if not added:
             keyframes.pop_last()
@@ -91,6 +92,8 @@ def relocalization(frame: Frame, keyframes: KeyframeBuffer, factor_graph,
             k=int(cfg.get("retrieval", {}).get("k", 3)),
             min_thresh=float(cfg.get("retrieval", {}).get("min_thresh", 5e-3)),
             kf_idx=n_kf - 1,
+            skip_query=True,  # signature cached from the query call above;
+            #                   the result here would be discarded anyway
         )
         print(f"Relocalized against keyframe(s) {kf_idx}")
         # Adopt the best match's pose as the starting point.
@@ -158,7 +161,10 @@ class Backend:
                                 self.retrieval, self.cfg)
             if ok:
                 self.states.set_mode(Mode.TRACKING)
-            self.states.dequeue_reloc()
+                # stale queued counts belong to this (now resolved) episode
+                self.states.clear_reloc()
+            else:
+                self.states.dequeue_reloc()
             return True
 
         idx = self.states.pop_global_optimization()

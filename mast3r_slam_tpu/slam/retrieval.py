@@ -138,6 +138,10 @@ class RetrievalDatabase:
             self.head_residual = bool(head_params.pop("residual", False))
             head_params = jax.tree.map(jnp.asarray, head_params)
         self.head_params = head_params
+        # one-entry signature cache: relocalization calls update() twice on
+        # the SAME frame (query, then insert-after-success) back to back
+        # under the keyframe lock — don't recompute the head + quantization
+        self._sig_cache = None
 
         self.codebook: jnp.ndarray | None = None
         self._bootstrap_pool: list[np.ndarray] = []
@@ -257,18 +261,26 @@ class RetrievalDatabase:
     # -- public API -----------------------------------------------------------
 
     def update(self, frame, add_after_query: bool, k: int,
-               min_thresh: float = 0.0, kf_idx: int | None = None) -> list[int]:
+               min_thresh: float = 0.0, kf_idx: int | None = None,
+               skip_query: bool = False) -> list[int]:
         """Query top-k loop-closure candidates, then optionally insert.
 
         ``kf_idx`` is the keyframe-buffer index this frame lives at (used to
         map retrieval hits back to buffer indices); defaults to assuming
-        insertion order == buffer order.
+        insertion order == buffer order. ``skip_query=True`` inserts without
+        the inverted-file scoring sweep (relocalization's insert-after-
+        success call discards the query result).
         """
-        words, packed, desc_np = self._signature(frame.feat)
+        key = (getattr(frame, "frame_id", None), id(frame.feat))
+        if self._sig_cache is not None and self._sig_cache[0] == key:
+            words, packed, desc_np = self._sig_cache[1]
+        else:
+            words, packed, desc_np = self._signature(frame.feat)
+            self._sig_cache = (key, (words, packed, desc_np))
         self._flush_pending()
 
         top: list[int] = []
-        if self.kf_counter > 0 and len(words) > 0:
+        if not skip_query and self.kf_counter > 0 and len(words) > 0:
             scores = self._score(words, packed)
             order = np.argsort(-scores)[:k]
             top = [self.id_to_kf[int(i)] for i in order

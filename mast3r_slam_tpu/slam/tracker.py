@@ -187,12 +187,6 @@ def opt_pose_calib_sim3(
 
 
 @jax.jit
-def fused_match_confidence(Qff, idx_f2k, Qkf):
-    """Qk = sqrt(Qff[idx] * Qkf) — geometric-mean fused descriptor confidence."""
-    return jnp.sqrt(Qff[idx_f2k] * Qkf)
-
-
-@jax.jit
 def pose_magnitude(T):
     """(|t|, rotation angle) of a Sim3 — used by the quality service."""
     t = T[..., 0:3]
@@ -463,10 +457,12 @@ class FrameTracker:
         self.full_cfg = cfg
         self.quality_service = quality_service
         self.idx_f2k = None             # warm-start correspondence across frames
+        self._warm_kf_idx = None        # which keyframe idx_f2k converged on
         self.last_kf_match = None       # (kf_idx, idx_f2k) at last KF creation
 
     def reset_idx_f2k(self):
         self.idx_f2k = None
+        self._warm_kf_idx = None
 
     def _scfg(self):
         return make_scfg(self.cfg, self.match_cfg)
@@ -486,6 +482,11 @@ class FrameTracker:
             ver_k = int(kfs.version[kf_idx])
 
         n = kfs.h * kfs.w
+        if self._warm_kf_idx is not None and self._warm_kf_idx != kf_idx:
+            # the tracking target changed outside this tracker (a reloc-
+            # appended keyframe): a correspondence converged against a
+            # DIFFERENT keyframe is worse than the identity cold start
+            self.reset_idx_f2k()
         idx_init = (self.idx_f2k if self.idx_f2k is not None
                     else jnp.broadcast_to(jnp.arange(n)[None], (1, n)))
         K = kfs.K if self.use_calib else jnp.eye(3)
@@ -500,6 +501,7 @@ class FrameTracker:
 
         # ---- host-side decisions on the (single) program's outputs ----
         self.idx_f2k = out["idx_f2k"]
+        self._warm_kf_idx = kf_idx
         frame.feat = out["feat_f"]
         frame.pos = out["pos_f"]
         frame.X_canon = out["X_frame"]

@@ -92,8 +92,11 @@ def load_state(path, keyframes, factor_graph=None) -> int:
                 keyframes.uimg[i] = z["uimg"][i]
             if "img" in z:
                 keyframes.img[i] = jnp.asarray(z["img"][i])
-            hw = (keyframes.h, keyframes.w)
-            keyframes.img_shapes[i] = (hw, hw)
+            # (display/working shape, MODEL-crop true shape) — under
+            # dataset.img_downsample these differ, and add_factors reads
+            # element [1] as the head-unflatten resolution
+            keyframes.img_shapes[i] = ((keyframes.h, keyframes.w),
+                                       tuple(keyframes.model_hw))
             keyframes.frame_id_to_index[int(z["dataset_idx"][i])] = i
             keyframes.is_dirty[i] = True
     if factor_graph is not None and hasattr(factor_graph, "drop_meas_cache"):
