@@ -224,3 +224,48 @@ def test_add_factors_accepts_consecutive_edge_hint():
     hint = (1, 2, np.arange(n, dtype=np.int32))
     assert graph.add_factors([1], [2], 0.0, init_hint=hint)
     assert graph.n_edges() == 1
+
+
+def test_reloc_success_clears_all_queued_counts():
+    """Multiple queued reloc attempts for one lost-tracking episode are all
+    resolved by ONE success — a leaked count kept Backend.idle() false
+    forever and would fire a spurious relocalization on the next failure."""
+    from mast3r_slam_tpu.slam.frame import Mode, States
+    from mast3r_slam_tpu.slam.pipeline import Backend
+
+    kfs = make_keyframes(3)
+    graph = FactorGraph(StubModel(), kfs, CFG)
+
+    class HitRetrieval:
+        def update(self, *a, **k):
+            return [0]
+
+    states = States()
+    states.set_mode(Mode.RELOC)
+    fr = kfs[1]
+    fr.frame_id = 99
+    states.set_frame(fr)
+    states.queue_reloc()
+    states.queue_reloc()  # a second frame queued while the backend was busy
+    backend = Backend(StubModel(), kfs, states, graph, HitRetrieval(), CFG)
+    assert backend.step()          # succeeds (strict reloc, stub matches)
+    assert states.get_mode() == Mode.TRACKING
+    assert states.reloc_sem == 0, "stale reloc count leaked"
+    assert backend.idle()
+
+
+def test_tracker_warm_start_reset_on_foreign_keyframe(monkeypatch):
+    """A reloc-appended keyframe changes the tracking target: the tracker
+    must drop its cross-frame matcher warm start (converged against a
+    DIFFERENT keyframe) instead of seeding with it."""
+    from mast3r_slam_tpu.slam.tracker import FrameTracker
+
+    kfs = make_keyframes(2)
+    tr = FrameTracker.__new__(FrameTracker)  # no model needed for this
+    tr.idx_f2k = jnp.zeros((1, N), jnp.int32)
+    tr._warm_kf_idx = 0
+    # simulate the guard at the top of track(): target changed 0 -> 1
+    kf_idx = 1
+    if tr._warm_kf_idx is not None and tr._warm_kf_idx != kf_idx:
+        tr.reset_idx_f2k()
+    assert tr.idx_f2k is None and tr._warm_kf_idx is None
