@@ -58,7 +58,9 @@ def build_model(args, cfg, downsample=1):
         print("WARNING: no --weights given; using random-init parameters "
               "(geometry will be meaningless — fine for perf/smoke runs)")
         params = M.init_params(jax.random.PRNGKey(0), mcfg)
-    params = jax.device_put(params)
+    # numerics-neutral (linear/conv cast weights per-use anyway); halves the
+    # per-frame weight HBM reads of the ViT-L forward
+    params = jax.device_put(M.cast_params_for_compute(params, mcfg))
     from mast3r_slam_tpu.parallel.topology import plan_topology
 
     topo = plan_topology()

@@ -304,6 +304,45 @@ def init_params(key, cfg: MASt3RConfig):
     return params
 
 
+def cast_params_for_compute(params, cfg: MASt3RConfig):
+    """Pre-cast matmul/conv weights to their compute dtype ONCE at load time.
+
+    ``L.linear``/``L.conv2d`` cast weights to the activation dtype at every
+    use anyway, so this is numerically IDENTICAL — but with f32 storage XLA
+    re-reads double the bytes from HBM on every frame (~2.6 GB of weight
+    traffic for a ViT-L forward; the convert is fused into the matmul but
+    the read is not halved). LayerNorm scales/biases stay f32 (they
+    participate in f32 math inside ``L.layernorm``), the trunk follows
+    ``cfg.dtype``, and the heads follow ``cfg.head_dtype`` (eval configs pin
+    f32 heads → no-op there). Pinned by tests/test_model.py.
+    """
+    trunk_dt = cfg.compute_dtype()
+    head_dt = jnp.dtype(cfg.head_dtype)
+
+    def cast_tree(tree, dt):
+        return jax.tree_util.tree_map(lambda a: a.astype(dt), tree)
+
+    def cast_block(blk, dt):
+        out = dict(blk)
+        for k in ("attn", "cross", "mlp"):
+            if k in out:
+                out[k] = cast_tree(out[k], dt)
+        return out
+
+    p = dict(params)
+    if trunk_dt != jnp.float32:
+        p["patch_embed"] = cast_tree(p["patch_embed"], trunk_dt)
+        p["decoder_embed"] = cast_tree(p["decoder_embed"], trunk_dt)
+        p["enc_blocks"] = [cast_block(b, trunk_dt) for b in p["enc_blocks"]]
+        p["dec_blocks"] = [cast_block(b, trunk_dt) for b in p["dec_blocks"]]
+        p["dec_blocks2"] = [cast_block(b, trunk_dt) for b in p["dec_blocks2"]]
+    if head_dt != jnp.float32:
+        for h in ("head1", "head2"):
+            if h in p:
+                p[h] = cast_tree(p[h], head_dt)
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Forward passes
 # ---------------------------------------------------------------------------

@@ -231,6 +231,47 @@ def test_head_dtype_bf16_deviation_bounded():
     assert np.median(rel) < 0.12, np.median(rel)
 
 
+def test_cast_params_for_compute_is_numerics_neutral():
+    """cast_params_for_compute pre-casts matmul/conv weights to the compute
+    dtype at LOAD time; linear/conv cast per-use anyway, so a bf16-trunk
+    forward must be bit-identical with cast vs uncast params (the only
+    change is WHEN the convert happens), and layernorm params must stay f32."""
+    import dataclasses
+
+    import numpy as np
+
+    cfg = M.tiny_config(dtype="bfloat16")
+    cfg = dataclasses.replace(cfg, head_dtype="bfloat16")
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    cast = M.cast_params_for_compute(params, cfg)
+
+    assert cast["enc_blocks"][0]["attn"]["qkv"]["w"].dtype == jnp.bfloat16
+    assert cast["dec_blocks"][0]["cross"]["q"]["w"].dtype == jnp.bfloat16
+    assert cast["head1"]["dpt"]["rn0"]["w"].dtype == jnp.bfloat16
+    # layernorm params participate in f32 math — must not be cast
+    assert cast["enc_blocks"][0]["norm1"]["g"].dtype == jnp.float32
+    assert cast["enc_norm"]["g"].dtype == jnp.float32
+    assert cast["dec_norm"]["g"].dtype == jnp.float32
+
+    H, W = 32, 48
+    img1 = jax.random.uniform(jax.random.PRNGKey(3), (1, H, W, 3),
+                              jnp.float32, -1, 1)
+    img2 = jnp.roll(img1, 4, axis=2)
+    r1a, r2a = M.two_view_infer(params, cfg, img1, img2)
+    r1b, r2b = M.two_view_infer(cast, cfg, img1, img2)
+    for a, b in ((r1a, r1b), (r2a, r2b)):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
+
+    # f32 trunk + f32 heads (eval config): cast is a no-op
+    cfg32 = M.tiny_config()
+    cast32 = M.cast_params_for_compute(
+        M.init_params(jax.random.PRNGKey(1), cfg32), cfg32)
+    assert cast32["enc_blocks"][0]["attn"]["qkv"]["w"].dtype == jnp.float32
+    assert cast32["head1"]["dpt"]["rn0"]["w"].dtype == jnp.float32
+
+
 def test_inference_downsample_decimates_working_outputs():
     """downsample=2 decimates every inference path's per-pixel outputs by
     stride 2 in H and W (reference mast3r_utils.py:43-52 applied at each
