@@ -58,9 +58,10 @@ def build_model(args, cfg, downsample=1):
         print("WARNING: no --weights given; using random-init parameters "
               "(geometry will be meaningless — fine for perf/smoke runs)")
         params = M.init_params(jax.random.PRNGKey(0), mcfg)
-    # numerics-neutral (linear/conv cast weights per-use anyway); halves the
-    # per-frame weight HBM reads of the ViT-L forward
-    params = jax.device_put(M.cast_params_for_compute(params, mcfg))
+    # load-time prep, both numerics-neutral (tests/test_model.py): weights
+    # pre-cast to compute dtype (halves per-frame weight HBM reads) + the
+    # dual-decoder stacked into one batched two-stream chain
+    params = jax.device_put(M.prepare_params(params, mcfg))
     from mast3r_slam_tpu.parallel.topology import plan_topology
 
     topo = plan_topology()

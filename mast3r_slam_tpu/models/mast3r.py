@@ -26,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from mast3r_slam_tpu.models import layers as L
 
@@ -175,6 +176,96 @@ def encoder_block(p, x, pos, n_heads, rope_base):
     x = x + self_attn(p["attn"], L.layernorm(p["norm1"], x), pos, n_heads, rope_base)
     x = x + L.mlp(p["mlp"], L.layernorm(p["norm2"], x))
     return x
+
+
+# ---------------------------------------------------------------------------
+# Stacked dual-decoder: both streams as one batched chain
+# ---------------------------------------------------------------------------
+# The dual decoder applies TWO weight sets (dec_blocks / dec_blocks2) to two
+# token streams that swap roles as cross-attention memory. Running them as
+# two b-sized chains leaves the MXU half-fed at the tracker's b=1; stacking
+# the streams into a (2, b, n, c) chain with (2, ...) weight leaves turns
+# every pair of matmuls into ONE batched contraction and halves the op count
+# of the decode. Per-stream math is untouched (batched matmuls are
+# independent per batch entry), so results match the sequential path
+# bit-for-bit — pinned by tests/test_model.py.
+
+def _linear_s(p, x):
+    """Per-stream linear: ``x (2, B, N, C)``, ``w (2, C, D)``."""
+    y = jnp.einsum("sbnc,scd->sbnd", x, p["w"].astype(x.dtype))
+    if "b" in p:
+        y = y + p["b"][:, None, None, :].astype(x.dtype)
+    return y
+
+
+def _layernorm_s(p, x, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = y * p["g"][:, None, None, :] + p["b"][:, None, None, :]
+    return y.astype(x.dtype)
+
+
+def _mlp_s(p, x):
+    return _linear_s(p["fc2"], L.gelu(_linear_s(p["fc1"], x)))
+
+
+def _attn_heads_s(x, pos, n_heads, rope_base):
+    """(2, B, N, D) → RoPE'd (2B, H, N, Dh) head layout."""
+    s, b, n, d = x.shape
+    q = _split_heads(x.reshape(s * b, n, d), n_heads)
+    return rope_2d(q, pos.reshape(s * b, n, 2), rope_base)
+
+
+def self_attn_s(p, x, pos, n_heads, rope_base):
+    s, b, n, d = x.shape
+    qkv = _linear_s(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _attn_heads_s(q, pos, n_heads, rope_base)
+    k = _attn_heads_s(k, pos, n_heads, rope_base)
+    v = _split_heads(v.reshape(s * b, n, d), n_heads)
+    out = _merge_heads(attention(q, k, v)).reshape(s, b, n, d)
+    return _linear_s(p["proj"], out)
+
+
+def cross_attn_s(p, x, mem, xpos, mpos, n_heads, rope_base):
+    s, b, n, d = x.shape
+    q = _attn_heads_s(_linear_s(p["q"], x), xpos, n_heads, rope_base)
+    k = _attn_heads_s(_linear_s(p["k"], mem), mpos, n_heads, rope_base)
+    v = _split_heads(_linear_s(p["v"], mem).reshape(s * b, n, d), n_heads)
+    out = _merge_heads(attention(q, k, v)).reshape(s, b, n, d)
+    return _linear_s(p["proj"], out)
+
+
+def decoder_block_s(p, x, mem, xpos, mpos, n_heads, rope_base):
+    x = x + self_attn_s(p["attn"], _layernorm_s(p["norm1"], x), xpos,
+                        n_heads, rope_base)
+    mem_n = _layernorm_s(p["norm_y"], mem)
+    x = x + cross_attn_s(p["cross"], _layernorm_s(p["norm2"], x), mem_n,
+                         xpos, mpos, n_heads, rope_base)
+    x = x + _mlp_s(p["mlp"], _layernorm_s(p["norm3"], x))
+    return x
+
+
+def stack_decoder_params(params):
+    """Stack ``dec_blocks[i]`` + ``dec_blocks2[i]`` leaves into (2, ...) —
+    done ONCE at load time (``prepare_params``): stacking per call would
+    copy the ~450 MB of decoder weights every frame."""
+    return [
+        jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), b1, b2)
+        for b1, b2 in zip(params["dec_blocks"], params["dec_blocks2"])
+    ]
+
+
+def prepare_params(params, cfg: MASt3RConfig):
+    """Load-time parameter prep: compute-dtype weight cast + stacked
+    dual-decoder views. Returns a NEW dict; the original stays checkpoint-
+    shaped. ``dec_stacked`` routes :func:`decode_pair` to the batched
+    two-stream chain."""
+    p = cast_params_for_compute(params, cfg)
+    p["dec_stacked"] = stack_decoder_params(p)
+    return p
 
 
 def decoder_block(p, x, mem, xpos, mpos, n_heads, rope_base):
@@ -388,6 +479,30 @@ def decode_pair(params, cfg: MASt3RConfig, feat1, pos1, feat2, pos2):
     out1 = [feat1]
     out2 = [feat2]
     depth = cfg.dec_depth
+
+    stacked = params.get("dec_stacked")
+    if stacked is not None:
+        # both streams as ONE batched chain over the (2, ...) weight stack —
+        # bit-identical to the sequential loop below (see decoder_block_s)
+        x = jnp.stack([f1, f2])                       # (2, B, N, C)
+        xpos = jnp.stack([pos1, pos2])
+        mpos = jnp.stack([pos2, pos1])
+        for i, blk in enumerate(stacked):
+            x = decoder_block_s(blk, x, x[::-1], xpos, mpos,
+                                cfg.dec_num_heads, cfg.rope_base)
+            if (i + 1) in hooks or (i + 1) == depth:
+                if (i + 1) == depth:
+                    xn = _layernorm_s(
+                        {"g": jnp.stack([params["dec_norm"]["g"]] * 2),
+                         "b": jnp.stack([params["dec_norm"]["b"]] * 2)},
+                        x).astype(jnp.float32)
+                    out1.append(xn[0])
+                    out2.append(xn[1])
+                else:
+                    out1.append(x[0].astype(jnp.float32))
+                    out2.append(x[1].astype(jnp.float32))
+        return out1, out2
+
     for i, (b1, b2) in enumerate(zip(params["dec_blocks"], params["dec_blocks2"])):
         f1n = decoder_block(b1, f1, f2, pos1, pos2, cfg.dec_num_heads, cfg.rope_base)
         f2n = decoder_block(b2, f2, f1, pos2, pos1, cfg.dec_num_heads, cfg.rope_base)

@@ -36,9 +36,11 @@ def main():
     H, W = 384, 512
     n_pix = H * W
     cfg = M.MASt3RConfig(head_dtype="bfloat16")
-    params = jax.device_put(
-        M.cast_params_for_compute(M.init_params(jax.random.PRNGKey(0), cfg),
-                                  cfg))
+    raw = M.init_params(jax.random.PRNGKey(0), cfg)
+    if os.environ.get("MAST3R_TPU_STACK_DEC", "0") == "1":
+        params = jax.device_put(M.prepare_params(raw, cfg))
+    else:
+        params = jax.device_put(M.cast_params_for_compute(raw, cfg))
     img_f = jax.random.uniform(jax.random.PRNGKey(42), (1, H, W, 3),
                                jnp.float32, -1.0, 1.0)
 

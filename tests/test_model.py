@@ -231,6 +231,35 @@ def test_head_dtype_bf16_deviation_bounded():
     assert np.median(rel) < 0.12, np.median(rel)
 
 
+def test_stacked_decoder_matches_sequential():
+    """prepare_params' stacked dual-decoder (both streams as one batched
+    chain over (2, ...) weight leaves) must reproduce the sequential
+    two-chain decode exactly — batched matmuls are independent per batch
+    entry, so the math is unchanged; only the op schedule is."""
+    import numpy as np
+
+    for dtype in ("float32", "bfloat16"):
+        cfg = M.tiny_config(dtype=dtype)
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        prepped = M.prepare_params(params, cfg)
+        assert "dec_stacked" in prepped
+
+        H, W = 32, 48
+        n_tok = (H // 16) * (W // 16)
+        key = jax.random.PRNGKey(5)
+        feat1 = jax.random.normal(key, (2, n_tok, cfg.enc_embed_dim))
+        feat2 = jax.random.normal(jax.random.fold_in(key, 1), feat1.shape)
+        pos = M.patch_positions(H // 16, W // 16, 2)
+
+        a1, a2 = M.decode_pair(params, cfg, feat1, pos, feat2, pos)
+        b1, b2 = M.decode_pair(prepped, cfg, feat1, pos, feat2, pos)
+        assert len(a1) == len(b1) == len(cfg.dpt_hooks)
+        for i, (a, b) in enumerate(list(zip(a1, b1)) + list(zip(a2, b2))):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=0,
+                err_msg=f"hook {i} dtype {dtype}")
+
+
 def test_cast_params_for_compute_is_numerics_neutral():
     """cast_params_for_compute pre-casts matmul/conv weights to the compute
     dtype at LOAD time; linear/conv cast per-use anyway, so a bf16-trunk
