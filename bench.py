@@ -48,7 +48,42 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def wait_for_device(max_wait_s=1500, probe_timeout_s=330, sleep_s=60):
+    """Ride out transient TPU-tunnel outages before touching the backend.
+
+    The axon tunnel intermittently returns ``UNAVAILABLE: TPU backend
+    setup/compile error`` for stretches of minutes (observed 2026-08-17: a
+    ~40 min outage where even ``jax.devices()`` hung then raised). A failed
+    init can poison the in-process backend cache, so probe in a SUBPROCESS
+    and only touch the backend here once a probe succeeds. Returns True if
+    a device answered within the budget.
+    """
+    import subprocess
+    import time as _time
+
+    deadline = _time.time() + max_wait_s
+    first = True
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_timeout_s)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if _time.time() > deadline:
+            log("TPU backend still unavailable after "
+                f"{max_wait_s}s of retries; proceeding anyway")
+            return False
+        if first:
+            log("TPU backend unavailable; retrying (tunnel outage?)...")
+            first = False
+        _time.sleep(sleep_s)
+
+
 def main():
+    wait_for_device()
     from mast3r_slam_tpu.models import mast3r as M
     from mast3r_slam_tpu.ops import lie, matching
     from mast3r_slam_tpu.slam.tracker import opt_pose_ray_dist_sim3

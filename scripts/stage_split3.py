@@ -31,6 +31,8 @@ from mast3r_slam_tpu.slam.tracker import opt_pose_ray_dist_sim3
 
 
 def main():
+    from bench import wait_for_device
+    wait_for_device()
     mode = sys.argv[1] if len(sys.argv) > 1 else "full"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     H, W = 384, 512
