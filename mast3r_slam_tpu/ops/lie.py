@@ -22,6 +22,7 @@ small-angle handling via ``jnp.where`` on safe operands).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8  # small-angle / small-log-scale series switch
@@ -186,17 +187,37 @@ def act(T, X):
     return scale(T) * quat_act(quaternion(T), X) + translation(T)
 
 
+def _unit(q):
+    """Renormalize a quaternion (rsqrt of its squared norm)."""
+    return q * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True), 1e-30))
+
+
 def compose(Ta, Tb):
-    """Group composition ``Ta ∘ Tb``."""
-    q = quat_mul(quaternion(Ta), quaternion(Tb))
+    """Group composition ``Ta ∘ Tb``.
+
+    The product quaternion is RENORMALIZED. This is not optional hygiene:
+    ``quat_inv`` is the conjugate, which inverts only UNIT quaternions, and
+    ``quat_act``/``act`` scale points by |q|² — so through the tracker's
+    per-frame chain ``T_new = T_k ∘ solve(init = T_k⁻¹ ∘ T_prev)`` any norm
+    error ε amplifies as (1+ε) → (1+ε)³ per frame and EXPLODES after ~33
+    frames (|q| ~ 1e11 observed on the oracle-scene harness; the ray
+    residuals are |q|-invariant and Huber clamps the dist channel, so the
+    solver itself never notices). lietorch stores unit quaternions and
+    renormalizes in its operations; one rsqrt here buys the same guarantee.
+    """
+    q = _unit(quat_mul(quaternion(Ta), quaternion(Tb)))
     t = act(Ta, translation(Tb))
     s = scale(Ta) * scale(Tb)
     return jnp.concatenate([t, q, s], axis=-1)
 
 
 def inv(T):
-    """Group inverse: ``(R, t, s)^-1 = (R^T, -(1/s) R^T t, 1/s)``."""
-    qi = quat_inv(quaternion(T))
+    """Group inverse: ``(R, t, s)^-1 = (R^T, -(1/s) R^T t, 1/s)``.
+
+    Renormalizes the conjugate (see :func:`compose` — conj inverts only
+    unit quaternions)."""
+    qi = _unit(quat_inv(quaternion(T)))
     s_inv = 1.0 / scale(T)
     t_inv = -s_inv * quat_act(qi, translation(T))
     return jnp.concatenate([t_inv, qi, s_inv], axis=-1)
@@ -383,13 +404,13 @@ def se3_act(T, X):
 
 
 def se3_compose(Ta, Tb):
-    q = quat_mul(Ta[..., 3:7], Tb[..., 3:7])
+    q = _unit(quat_mul(Ta[..., 3:7], Tb[..., 3:7]))
     t = se3_act(Ta, Tb[..., 0:3])
     return jnp.concatenate([t, q], axis=-1)
 
 
 def se3_inv(T):
-    qi = quat_inv(T[..., 3:7])
+    qi = _unit(quat_inv(T[..., 3:7]))
     return jnp.concatenate([-quat_act(qi, T[..., 0:3]), qi], axis=-1)
 
 

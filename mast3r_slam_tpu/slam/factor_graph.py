@@ -124,12 +124,15 @@ def _edge_system_fused(rho, d_res, Xp, c, adj_inv,
     Gs = jnp.sum(G, axis=1)                       # (E, 8, 8)
     H_local = Gs[:, :7, :7]
     g_local = Gs[:, :7, 7]                        # (E, 7)
+    # the Gram's (ρ, ρ) corner is the whitened-Huber cost — free, and what
+    # makes the LM accept/reject loop possible without a second pass
+    cost = jnp.sum(Gs[:, 7, 7])
     # world-frame pose-j blocks: Jj = Jl @ adj_inv; since ``J_i = -J_j``
     # exactly, the (ii, ij, jj) blocks downstream are ``(H, -H, H)`` and
     # ``g_i = -g_j``, halving the remaining work.
     H = jnp.einsum("eab,eac,ecd->ebd", adj_inv, H_local, adj_inv)
     g = jnp.einsum("eab,ea->eb", adj_inv, g_local)
-    return H, g
+    return H, g, cost
 
 
 def _premeas_rays(X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
@@ -392,18 +395,19 @@ def _accumulate_system(terms_fn, ii, jj, meas, edge_mask, free_mask,
     chunk, n_chunks = _chunked(E)
     H0 = jnp.zeros((cap + 1, 7, cap + 1, 7), dtype=dtype)
     g0 = jnp.zeros((cap + 1, 7), dtype=dtype)
+    c0 = jnp.zeros((), jnp.float32)
 
     def body(carry, sl):
-        H, g = carry
+        H, g, cost = carry
         ii_c, jj_c, mask_c, meas_c = sl
         rho, d_res, Xp, sw, adj_inv = terms_fn(ii_c, jj_c, meas_c)
         # whitened-Huber IRLS weights (+ padded-edge mask, binary)
         c = [sw[i] * sw[i] * huber(sw[i] * rho[i]) * mask_c[:, None]
              for i in range(len(rho))]
-        He, ge = _edge_system_fused(rho, d_res, Xp, c, adj_inv,
-                                    compute_dtype=compute_dtype)
+        He, ge, cost_e = _edge_system_fused(rho, d_res, Xp, c, adj_inv,
+                                            compute_dtype=compute_dtype)
         H, g = _scatter_blocks(H, g, He, ge, ii_c, jj_c, free_mask, cap)
-        return (H, g), None
+        return (H, g, cost + cost_e), None
 
     sl = (
         ii.reshape(n_chunks, chunk),
@@ -411,8 +415,8 @@ def _accumulate_system(terms_fn, ii, jj, meas, edge_mask, free_mask,
         edge_mask.reshape(n_chunks, chunk),
         tuple(ch.reshape(n_chunks, chunk, -1) for ch in meas),
     )
-    (H, g), _ = lax.scan(body, (H0, g0), sl)
-    return H, g
+    (H, g, cost), _ = lax.scan(body, (H0, g0, c0), sl)
+    return H, g, cost
 
 
 def _use_pallas(meas):
@@ -430,13 +434,15 @@ def _use_pallas(meas):
 
 
 def _edge_blocks_from_gram(G, D, Ti):
-    """Extract per-edge H/g from the kernel's Gram and map to world frame."""
+    """Extract per-edge H/g (+ total whitened-Huber cost, the Gram's (ρ, ρ)
+    corner) from the kernel's Gram and map to world frame."""
     H_local = sum(G[:, d * 8:d * 8 + 7, d * 8:d * 8 + 7] for d in range(D))
     g_local = sum(G[:, d * 8:d * 8 + 7, d * 8 + 7] for d in range(D))
+    cost = sum(jnp.sum(G[:, d * 8 + 7, d * 8 + 7]) for d in range(D))
     adj_inv = lie.adjoint(lie.inv(Ti))
     H = jnp.einsum("eab,eac,ecd->ebd", adj_inv, H_local, adj_inv)
     g = jnp.einsum("eab,ea->eb", adj_inv, g_local)
-    return H, g
+    return H, g, cost
 
 
 def _rel_pose_rows(T, ii, jj, edge_mask, extra=()):
@@ -458,10 +464,11 @@ def _accumulate_pallas_rays(T, meas, ii, jj, edge_mask, free_mask, cap,
     Ti, rts = _rel_pose_rows(T, ii, jj, edge_mask)
     G = ba_kernels.gram_rays(rts, meas, sigma_ray, sigma_dist,
                              compute_dtype=compute_dtype, interpret=interpret)
-    He, ge = _edge_blocks_from_gram(G, 4, Ti)
+    He, ge, cost = _edge_blocks_from_gram(G, 4, Ti)
     H0 = jnp.zeros((cap + 1, 7, cap + 1, 7), T.dtype)
     g0 = jnp.zeros((cap + 1, 7), T.dtype)
-    return _scatter_blocks(H0, g0, He, ge, ii, jj, free_mask, cap)
+    H, g = _scatter_blocks(H0, g0, He, ge, ii, jj, free_mask, cap)
+    return H, g, cost
 
 
 def _accumulate_pallas_calib(T, meas, K, ii, jj, edge_mask, free_mask, cap,
@@ -473,10 +480,11 @@ def _accumulate_pallas_calib(T, meas, K, ii, jj, edge_mask, free_mask, cap,
     G = ba_kernels.gram_calib(rts, meas, img_size, pixel_border, z_eps,
                               sigma_pixel, sigma_depth,
                               compute_dtype=compute_dtype, interpret=interpret)
-    He, ge = _edge_blocks_from_gram(G, 3, Ti)
+    He, ge, cost = _edge_blocks_from_gram(G, 3, Ti)
     H0 = jnp.zeros((cap + 1, 7, cap + 1, 7), T.dtype)
     g0 = jnp.zeros((cap + 1, 7), T.dtype)
-    return _scatter_blocks(H0, g0, He, ge, ii, jj, free_mask, cap)
+    H, g = _scatter_blocks(H0, g0, He, ge, ii, jj, free_mask, cap)
+    return H, g, cost
 
 
 def _shard_edge_system(mesh, accum, T, free_mask, ii, jj, edge_mask, meas,
@@ -501,27 +509,39 @@ def _shard_edge_system(mesh, accum, T, free_mask, ii, jj, edge_mask, meas,
     def local(T_r, free_r, ii_l, jj_l, mask_l, *rest):
         extras = rest[:n_extra]
         meas_l = rest[n_extra:]
-        H, g = accum(T_r, tuple(meas_l), ii_l, jj_l, mask_l, free_r, *extras)
-        return lax.psum(H, axis), lax.psum(g, axis)
+        H, g, cost = accum(T_r, tuple(meas_l), ii_l, jj_l, mask_l, free_r,
+                           *extras)
+        return lax.psum(H, axis), lax.psum(g, axis), lax.psum(cost, axis)
 
     in_specs = ((P(), P(), P(axis), P(axis), P(axis))
                 + tuple(P() for _ in extra_arrays)
                 + tuple(P(axis) for _ in meas))
     return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
-                         out_specs=(P(), P()), check_vma=False)(
+                         out_specs=(P(), P(), P()), check_vma=False)(
         T, free_mask, ii, jj, edge_mask, *extra_arrays, *meas)
 
 
 def _solve_system(H, g, free_mask, cap, damping):
-    """Dense Cholesky of the accumulated system. Returns ``dx (cap, 7)``."""
+    """Dense Cholesky of the accumulated system. Returns ``dx (cap, 7)``.
+
+    ``damping`` is Marquardt-style RELATIVE damping: ``H + λ·diag(H)``.
+    Absolute ``λI`` is meaningless here — H's diagonal scales with
+    ``n_pix · conf/σ²`` (~1e10 at production shapes), so any fixed absolute
+    λ is either invisible or crushing depending on edge count.
+    """
     Hd = H[:cap, :, :cap, :].reshape(cap * 7, cap * 7)
     gd = g[:cap].reshape(cap * 7)
 
     # Identity rows for non-free poses keep the system well-posed.
     diag_free = jnp.repeat(free_mask[:cap], 7)
     Hd = jnp.where(diag_free[:, None] & diag_free[None, :], Hd, 0.0)
+    # bf16-Gram rounding leaves H slightly asymmetric/indefinite along weak
+    # dims (diag ~1e9, weak eigenvalues ~1e0): symmetrize before factoring
+    Hd = 0.5 * (Hd + Hd.T)
     eye = jnp.eye(cap * 7, dtype=Hd.dtype)
-    Hd = Hd + jnp.where(diag_free, damping, 1.0)[:, None] * eye
+    diag = jnp.diagonal(Hd)
+    Hd = Hd + jnp.where(diag_free,
+                        damping * jnp.maximum(diag, 1e-6), 1.0)[:, None] * eye
     gd = jnp.where(diag_free, gd, 0.0)
 
     Lc = jnp.linalg.cholesky(Hd)
@@ -529,7 +549,61 @@ def _solve_system(H, g, free_mask, cap, damping):
     Lc_safe = jnp.where(ok, Lc, eye)
     dx = jax.scipy.linalg.cho_solve((Lc_safe, True), gd)
     dx = jnp.where(ok, dx, 0.0)
-    return dx.reshape(cap, 7)
+    return dx.reshape(cap, 7), ok
+
+
+def _lm_loop(system, T_WC, free_mask, cap, max_iter, delta_thresh, damping):
+    """Levenberg-Marquardt accept/reject driver shared by the BA solvers.
+
+    The reference backend (gn_kernels.cu:813-1138 + global_opt.py) takes
+    plain Gauss-Newton steps with a fixed tiny damping; on weakly-constrained
+    poses (e.g. a keyframe held by a single low-overlap edge) those steps
+    oscillate in the scale direction and can walk the pose away without any
+    signal (observed on the oracle scene: one pose's scale swung 0.99 → 0.49
+    in 10 iterations while every other pose stayed put). Here each iteration
+    evaluates the TRUE whitened-Huber cost of the candidate — free, it is
+    the (ρ, ρ) corner of the same Gram that builds H/g — and:
+
+    - accept (cost decreased): keep the candidate, relax λ toward the base
+      ``damping`` (λ ← max(damping, λ/4)),
+    - reject: keep the previous iterate, λ ← 10λ, re-solve the SAME system
+      with the stiffer damping.
+
+    When every step accepts (the healthy case), λ stays at ``damping`` and
+    the iterate sequence is exactly the reference's GN trajectory. One extra
+    system build (at T₀) per solve is the only added cost. Deviation from
+    the reference documented in PARITY.md.
+    """
+    H0, g0, c0 = system(T_WC)
+
+    def body(state):
+        T_ref, cost_ref, H, g, lam, it, _ = state
+        dx, chol_ok = _solve_system(H, g, free_mask, cap, lam)
+        T_cand = jax.vmap(lie.retr)(T_ref, dx)
+        H_c, g_c, cost_c = system(T_cand)
+        accept = chol_ok & (cost_c < cost_ref)
+        T_ref = jnp.where(accept, T_cand, T_ref)
+        cost_ref = jnp.where(accept, cost_c, cost_ref)
+        H = jnp.where(accept, H_c, H)
+        g = jnp.where(accept, g_c, g)
+        lam = jnp.where(accept, jnp.maximum(damping, lam * 0.25), lam * 10.0)
+        # a tiny ACCEPTED step means converged; a Cholesky failure must not
+        # read as convergence (dx=0) — λ was just raised, keep iterating
+        delta = jnp.where(chol_ok, jnp.linalg.norm(dx),
+                          jnp.asarray(jnp.inf, dx.dtype))
+        return T_ref, cost_ref, H, g, lam, it + 1, delta
+
+    def cond(state):
+        *_, it, delta = state
+        return (it < max_iter) & (delta >= delta_thresh)
+
+    lam0 = jnp.asarray(damping, jnp.float32)
+    T, *_ = lax.while_loop(
+        cond, body,
+        (T_WC, c0, H0, g0, lam0, jnp.asarray(0),
+         jnp.asarray(jnp.inf, T_WC.dtype)),
+    )
+    return T
 
 
 @partial(jax.jit,
@@ -551,6 +625,10 @@ def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
     inside ``shard_map`` over the mesh's edge axis (requires ``E`` divisible
     by the mesh size). ``pallas_interpret``: force the kernel in interpret
     mode (CPU-mesh tests).
+
+    Iterations are Levenberg-Marquardt with accept/reject (see
+    :func:`_lm_loop`) — the whitened-Huber cost falls out of the edge-system
+    Gram for free, so step control costs nothing extra per iteration.
     """
     cap = T_WC.shape[0]
     cdt = jnp.dtype(compute_dtype)
@@ -564,9 +642,7 @@ def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
     elif not pallas and meas[0].ndim == 3:
         meas = tuple(ch.reshape(ch.shape[0], -1) for ch in meas)
 
-    def body(state):
-        T, it, _ = state
-
+    def system(T):
         if pallas and mesh is not None:
             def accum(T_r, meas_l, ii_l, jj_l, mask_l, free_r):
                 return _accumulate_pallas_rays(
@@ -574,33 +650,23 @@ def gauss_newton_rays(T_WC, meas, ii, jj, edge_mask, free_mask,
                     sigma_ray, sigma_dist, compute_dtype=cdt,
                     interpret=interp)
 
-            H, g = _shard_edge_system(mesh, accum, T, free_mask, ii, jj,
+            return _shard_edge_system(mesh, accum, T, free_mask, ii, jj,
                                       edge_mask, meas)
-        elif pallas:
-            H, g = _accumulate_pallas_rays(
+        if pallas:
+            return _accumulate_pallas_rays(
                 T, meas, ii, jj, edge_mask, free_mask, cap,
                 sigma_ray, sigma_dist, compute_dtype=cdt, interpret=interp)
-        else:
-            def terms(ii_c, jj_c, meas_c):
-                return _edge_terms_rays(T, ii_c, jj_c, meas_c,
-                                        sigma_ray, sigma_dist)
 
-            H, g = _accumulate_system(terms, ii, jj, meas,
-                                      edge_mask, free_mask, cap, T.dtype,
-                                      compute_dtype=cdt)
-        dx = _solve_system(H, g, free_mask, cap, damping)
-        T_new = jax.vmap(lie.retr)(T, dx)
-        delta = jnp.linalg.norm(dx)
-        return T_new, it + 1, delta
+        def terms(ii_c, jj_c, meas_c):
+            return _edge_terms_rays(T, ii_c, jj_c, meas_c,
+                                    sigma_ray, sigma_dist)
 
-    def cond(state):
-        _, it, delta = state
-        return (it < max_iter) & (delta >= delta_thresh)
+        return _accumulate_system(terms, ii, jj, meas,
+                                  edge_mask, free_mask, cap, T.dtype,
+                                  compute_dtype=cdt)
 
-    T, _, _ = lax.while_loop(
-        cond, body, (T_WC, jnp.asarray(0), jnp.asarray(jnp.inf, T_WC.dtype))
-    )
-    return T
+    return _lm_loop(system, T_WC, free_mask, cap, max_iter, delta_thresh,
+                    damping)
 
 
 @partial(jax.jit,
@@ -624,9 +690,7 @@ def gauss_newton_calib(T_WC, meas, K, ii, jj, edge_mask, free_mask, img_size,
     elif not pallas and meas[0].ndim == 3:
         meas = tuple(ch.reshape(ch.shape[0], -1) for ch in meas)
 
-    def body(state):
-        T, it, _ = state
-
+    def system(T):
         if pallas and mesh is not None:
             def accum(T_r, meas_l, ii_l, jj_l, mask_l, free_r, K_r):
                 return _accumulate_pallas_calib(
@@ -634,35 +698,25 @@ def gauss_newton_calib(T_WC, meas, K, ii, jj, edge_mask, free_mask, img_size,
                     img_size, pixel_border, z_eps, sigma_pixel, sigma_depth,
                     compute_dtype=cdt, interpret=interp)
 
-            H, g = _shard_edge_system(mesh, accum, T, free_mask, ii, jj,
+            return _shard_edge_system(mesh, accum, T, free_mask, ii, jj,
                                       edge_mask, meas, extra_arrays=(K,))
-        elif pallas:
-            H, g = _accumulate_pallas_calib(
+        if pallas:
+            return _accumulate_pallas_calib(
                 T, meas, K, ii, jj, edge_mask, free_mask, cap, img_size,
                 pixel_border, z_eps, sigma_pixel, sigma_depth,
                 compute_dtype=cdt, interpret=interp)
-        else:
-            def terms(ii_c, jj_c, meas_c):
-                return _edge_terms_calib(T, ii_c, jj_c, meas_c, K, img_size,
-                                         pixel_border, z_eps, sigma_pixel,
-                                         sigma_depth)
 
-            H, g = _accumulate_system(terms, ii, jj, meas,
-                                      edge_mask, free_mask, cap, T.dtype,
-                                      compute_dtype=cdt)
-        dx = _solve_system(H, g, free_mask, cap, damping)
-        T_new = jax.vmap(lie.retr)(T, dx)
-        delta = jnp.linalg.norm(dx)
-        return T_new, it + 1, delta
+        def terms(ii_c, jj_c, meas_c):
+            return _edge_terms_calib(T, ii_c, jj_c, meas_c, K, img_size,
+                                     pixel_border, z_eps, sigma_pixel,
+                                     sigma_depth)
 
-    def cond(state):
-        _, it, delta = state
-        return (it < max_iter) & (delta >= delta_thresh)
+        return _accumulate_system(terms, ii, jj, meas,
+                                  edge_mask, free_mask, cap, T.dtype,
+                                  compute_dtype=cdt)
 
-    T, _, _ = lax.while_loop(
-        cond, body, (T_WC, jnp.asarray(0), jnp.asarray(jnp.inf, T_WC.dtype))
-    )
-    return T
+    return _lm_loop(system, T_WC, free_mask, cap, max_iter, delta_thresh,
+                    damping)
 
 
 # ---------------------------------------------------------------------------

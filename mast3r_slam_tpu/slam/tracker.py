@@ -28,8 +28,8 @@ from mast3r_slam_tpu.ops.robust import huber
 from mast3r_slam_tpu.slam.frame import Frame
 
 
-def _solve_7x7(sqrt_info, r, J, huber_k):
-    """Whitened-Huber IRLS normal equations → (tau (7,), cost, ok).
+def _normal_7x7(sqrt_info, r, J, huber_k):
+    """Whitened-Huber IRLS normal equations → (H (7, 7), g (7,), cost).
 
     STRUCTURE-OF-ARRAYS layout: ``sqrt_info, r`` are length-D lists of
     ``(N,)`` channel vectors and ``J`` is a D x 7 nested list of ``(N,)``
@@ -39,8 +39,7 @@ def _solve_7x7(sqrt_info, r, J, huber_k):
     over N and feeds the MXU one (7, D*N) @ (D*N, 7) contraction.
     """
     D = len(r)
-    n = r[0].shape[0]
-    robust, b_rows, a_rows = [], [], []
+    robust, b_rows = [], []
     for i in range(D):
         whitened = sqrt_info[i] * r[i]
         rob = sqrt_info[i] * jnp.sqrt(huber(whitened, huber_k))
@@ -55,11 +54,82 @@ def _solve_7x7(sqrt_info, r, J, huber_k):
                             preferred_element_type=jnp.float32)
     g = -(A @ bf)
     cost = 0.5 * jnp.dot(bf, bf)
-    Lc = jnp.linalg.cholesky(H)
+    return H, g, cost
+
+
+def _solve_damped_7x7(H, g, lam):
+    """Cholesky solve of ``(H + λ·diag(H)) τ = g`` → (tau, chol_ok)."""
+    Hd = H + lam * jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-12))
+    Lc = jnp.linalg.cholesky(Hd)
     ok = jnp.all(jnp.isfinite(Lc))
     Lc_safe = jnp.where(ok, Lc, jnp.eye(7, dtype=H.dtype))
     tau = jax.scipy.linalg.cho_solve((Lc_safe, True), g)
-    return tau, cost, ok
+    return jnp.where(ok, tau, 0.0), ok
+
+
+def _lm_pose_loop(system, T0, max_iters, rel_error, delta_norm,
+                  lam0=1e-8, accept_slack=1e-6):
+    """Levenberg-Marquardt accept/reject driver for the 7x7 pose solvers.
+
+    The reference tracker (tracker.py:208-266) takes plain Gauss-Newton
+    steps with no step control; on weakly-conditioned geometry (low-relief
+    scenes, Huber-saturated residuals) a full step ascends and the iterate
+    spirals — scale → 0 within a few iterations from a ~3 cm-off init on
+    the oracle scene, costing ~35% of frames to skip/RELOC. The cost is
+    already evaluated every iteration, so true LM costs nothing extra:
+
+    - accept (candidate cost ≤ cost·(1+slack)): keep it, λ ← max(λ0, λ/4);
+    - reject: keep the previous iterate, λ ← 10λ, re-solve the SAME
+      normal equations with stiffer damping (the 7x7 re-solve is free
+      next to the 196k-pixel residual evaluation).
+
+    The slack accepts numerically-equal candidates so a solve that starts
+    AT the optimum converges instead of rejecting forever. When every step
+    accepts at λ0 ≈ 0 the iterate sequence is the reference's GN
+    trajectory. ``ok`` is False only when the system itself is broken
+    (non-finite cost / Cholesky failure) — divergence can no longer
+    produce a garbage pose, the iterate is always the best one seen.
+    Deviation from the reference documented in PARITY.md.
+    """
+    H0, g0, c0, ok0 = system(T0)
+    # reference singularity signal (tracker.py:91-93 Cholesky-except →
+    # RELOC): a rank-deficient initial system flags ok=False even though
+    # the damped LM solves below would paper over it
+    ok0 &= jnp.all(jnp.isfinite(jnp.linalg.cholesky(H0)))
+
+    def step_fn(state):
+        T_ref, cost_ref, H, g, lam, it, _, acc = state
+        tau, chol_ok = _solve_damped_7x7(H, g, lam)
+        T_cand = lie.retr(T_ref, tau)
+        H_c, g_c, cost_c, sys_ok = system(T_cand)
+        accept = chol_ok & sys_ok & (cost_c <= cost_ref * (1.0 + accept_slack))
+        T_ref = jnp.where(accept, T_cand, T_ref)
+        H = jnp.where(accept, H_c, H)
+        g = jnp.where(accept, g_c, g)
+        new_cost = jnp.where(accept, cost_c, cost_ref)
+        lam = jnp.where(accept, jnp.maximum(lam0, lam * 0.25), lam * 10.0)
+        done = accept & (
+            (jnp.abs((cost_ref - new_cost)
+                     / jnp.maximum(cost_ref, 1e-30)) < rel_error)
+            | (jnp.linalg.norm(tau) < delta_norm)
+        )
+        # stuck: damping grew past any useful scale without an accept
+        done |= lam > 1e8
+        return T_ref, new_cost, H, g, lam, it + 1, done, acc | accept
+
+    def cond_fn(state):
+        *_, it, done, _ = state
+        return (it < max_iters) & ~done
+
+    lam_init = jnp.asarray(lam0, jnp.float32)
+    init = (T0, c0, H0, g0, lam_init, jnp.asarray(0), jnp.asarray(False),
+            jnp.asarray(False))
+    T, cost, *_, accepted_any = lax.while_loop(cond_fn, step_fn, init)
+    # ok=False (→ skip/RELOC upstream) when the solve never improved on the
+    # init: broken inputs, or an init so far outside the basin that even
+    # λ→1e8 steps ascend. The accept slack guarantees an at-optimum init
+    # still accepts its (numerically equal) first candidate.
+    return T, ok0 & accepted_any & jnp.isfinite(cost)
 
 
 def _ray_dist_channels(X):
@@ -98,28 +168,17 @@ def opt_pose_ray_dist_sim3(
     T_CkCf0 = lie.compose(lie.inv(T_WCk), T_WCf)
     rd_k, _ = _ray_dist_channels(Xk)
 
-    def step_fn(state):
-        T, old_cost, it, _, ok = state
+    def system(T):
         Xf_Ck = lie.act(T, Xf)
         rd_f, drd_dX = _ray_dist_channels(Xf_Ck)
         r = [rd_k[i] - rd_f[i] for i in range(4)]
         J = geometry.compose_jac_channels(
             drd_dX, geometry.point_jac_channels(Xf_Ck), negate=True)
-        tau, new_cost, chol_ok = _solve_7x7(sqrt_info, r, J, huber_k)
-        T_new = lie.retr(T, tau)
-        done = (
-            (jnp.abs((old_cost - new_cost) / jnp.maximum(old_cost, 1e-30)) < rel_error)
-            | (jnp.linalg.norm(tau) < delta_norm)
-            | ~chol_ok
-        )
-        return T_new, new_cost, it + 1, done, ok & chol_ok
+        H, g, cost = _normal_7x7(sqrt_info, r, J, huber_k)
+        return H, g, cost, jnp.isfinite(cost)
 
-    def cond_fn(state):
-        _, _, it, done, _ = state
-        return (it < max_iters) & ~done
-
-    init = (T_CkCf0, jnp.asarray(jnp.inf, Xf.dtype), jnp.asarray(0), jnp.asarray(False), jnp.asarray(True))
-    T_CkCf, _, _, _, ok = lax.while_loop(cond_fn, step_fn, init)
+    T_CkCf, ok = _lm_pose_loop(system, T_CkCf0, max_iters, rel_error,
+                               delta_norm)
     T_WCf_new = lie.compose(T_WCk, T_CkCf)
     return T_WCf_new, T_CkCf, ok
 
@@ -141,8 +200,7 @@ def opt_pose_calib_sim3(
     fx, fy, cx, cy = geometry.decompose_K(K)
     Himg, Wimg = img_size
 
-    def step_fn(state):
-        T, old_cost, it, _, ok = state
+    def system(T):
         Xw = lie.act(T, Xf)
         x, y, z = Xw[:, 0], Xw[:, 1], Xw[:, 2]
         valid_z = z > depth_eps
@@ -167,21 +225,11 @@ def opt_pose_calib_sim3(
             dpz_dX, geometry.point_jac_channels(Xw), negate=True)
         gate = (valid_proj & vmeas).astype(sq.dtype)
         info2 = [sqrt_pix * gate, sqrt_pix * gate, sqrt_dep * gate]
-        tau, new_cost, chol_ok = _solve_7x7(info2, r, J, huber_k)
-        T_new = lie.retr(T, tau)
-        done = (
-            (jnp.abs((old_cost - new_cost) / jnp.maximum(old_cost, 1e-30)) < rel_error)
-            | (jnp.linalg.norm(tau) < delta_norm)
-            | ~chol_ok
-        )
-        return T_new, new_cost, it + 1, done, ok & chol_ok
+        H, g, cost = _normal_7x7(info2, r, J, huber_k)
+        return H, g, cost, jnp.isfinite(cost)
 
-    def cond_fn(state):
-        _, _, it, done, _ = state
-        return (it < max_iters) & ~done
-
-    init = (T_CkCf0, jnp.asarray(jnp.inf, Xf.dtype), jnp.asarray(0), jnp.asarray(False), jnp.asarray(True))
-    T_CkCf, _, _, _, ok = lax.while_loop(cond_fn, step_fn, init)
+    T_CkCf, ok = _lm_pose_loop(system, T_CkCf0, max_iters, rel_error,
+                               delta_norm)
     T_WCf_new = lie.compose(T_WCk, T_CkCf)
     return T_WCf_new, T_CkCf, ok
 

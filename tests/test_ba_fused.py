@@ -69,7 +69,7 @@ def test_fused_matches_dense_rays(seed, dtype):
         T, ii, jj, meas, 0.003, 10.0)
     c = [sw[i] * sw[i] * huber(sw[i] * rho[i]) * mask[:, None]
          for i in range(len(rho))]
-    H_f, g_f = FG._edge_system_fused(rho, d_res, Xp, c, adj_inv,
+    H_f, g_f, _ = FG._edge_system_fused(rho, d_res, Xp, c, adj_inv,
                                      compute_dtype=dtype)
     H_d, g_d = _dense_reference(rho, d_res, Xp, c, adj_inv)
     h_scale = float(jnp.max(jnp.abs(H_d))) + 1e-6
@@ -91,7 +91,7 @@ def test_fused_matches_dense_calib(seed, dtype):
         T, ii, jj, meas, K, (24, 32), 2.0, 1e-6, 1.0, 0.1)
     c = [sw[i] * sw[i] * huber(sw[i] * rho[i]) * mask[:, None]
          for i in range(len(rho))]
-    H_f, g_f = FG._edge_system_fused(rho, d_res, Xp, c, adj_inv,
+    H_f, g_f, _ = FG._edge_system_fused(rho, d_res, Xp, c, adj_inv,
                                      compute_dtype=dtype)
     H_d, g_d = _dense_reference(rho, d_res, Xp, c, adj_inv)
     h_scale = float(jnp.max(jnp.abs(H_d))) + 1e-6
@@ -123,11 +123,11 @@ def test_pallas_gram_rays_matches_xla(monkeypatch):
 
     Ti, rts = FG._rel_pose_rows(T, ii, jj, maskj)
     G = ba_kernels.gram_rays(rts, meas, 0.003, 10.0, interpret=True)
-    H_p, g_p = FG._edge_blocks_from_gram(G, 4, Ti)
+    H_p, g_p, _ = FG._edge_blocks_from_gram(G, 4, Ti)
 
     rho, d_res, Xp, sw, adj_inv = FG._edge_terms_rays(T, ii, jj, meas,
                                                       0.003, 10.0)
-    H_x, g_x = FG._edge_system_fused(rho, d_res, Xp,
+    H_x, g_x, _ = FG._edge_system_fused(rho, d_res, Xp,
                                      _mask_weights(sw, rho, maskj), adj_inv)
     h_scale = float(jnp.max(jnp.abs(H_x))) + 1e-6
     g_scale = float(jnp.max(jnp.abs(g_x))) + 1e-6
@@ -150,11 +150,11 @@ def test_pallas_gram_calib_matches_xla(monkeypatch):
     Ti, rts = FG._rel_pose_rows(T, ii, jj, maskj, extra=(fx, fy, cx, cy))
     G = ba_kernels.gram_calib(rts, meas, (24, 32), 2.0, 1e-6, 1.0, 0.1,
                               interpret=True)
-    H_p, g_p = FG._edge_blocks_from_gram(G, 3, Ti)
+    H_p, g_p, _ = FG._edge_blocks_from_gram(G, 3, Ti)
 
     rho, d_res, Xp, sw, adj_inv = FG._edge_terms_calib(
         T, ii, jj, meas, K, (24, 32), 2.0, 1e-6, 1.0, 0.1)
-    H_x, g_x = FG._edge_system_fused(rho, d_res, Xp,
+    H_x, g_x, _ = FG._edge_system_fused(rho, d_res, Xp,
                                      _mask_weights(sw, rho, maskj), adj_inv)
     h_scale = float(jnp.max(jnp.abs(H_x))) + 1e-6
     g_scale = float(jnp.max(jnp.abs(g_x))) + 1e-6

@@ -1,0 +1,81 @@
+"""End-to-end SLAM-math validation on the analytic oracle scene.
+
+The oracle replaces the network with exact multi-view-consistent geometry +
+controlled noise (utils/oracle_scene.py), so these tests validate the whole
+estimation stack — iterative-projection matcher, Sim(3) GN pose solver,
+keyframe chaining, factor-graph BA with a loop closure — against KNOWN
+ground truth, and pin the trajectory-error cost of the speed-motivated
+matcher deviations (PARITY.md: refine_mode plus, level_step 2,
+plateau_frac) relative to strict reference settings.
+
+Full-size study: scripts/mode_ate_study.py (results in docs/PERFORMANCE.md).
+"""
+
+import numpy as np
+import pytest
+
+from mast3r_slam_tpu.utils.oracle_scene import (OracleScene, make_trajectory,
+                                                run_oracle_slam)
+
+HW = (32, 48)
+N_FRAMES = 16
+
+STRICT = dict(refine_mode="joint", level_step=1, plateau_frac=0.0)
+FAST = dict(refine_mode="plus", level_step=2, plateau_frac=0.001)
+
+
+def test_raycast_is_exact_and_consistent():
+    scene = OracleScene(seed=0)
+    poses = make_trajectory(8)
+    K = scene.intrinsics(HW)
+    X, hits = scene.raycast(poses[3], K, HW)
+    # Newton residual: hit points lie ON the surface
+    res = np.abs(hits[:, 2] - scene.height(hits[:, 0], hits[:, 1]))
+    assert res.max() < 1e-9
+    # pointmap depth is positive and near the base depth
+    assert X[:, 2].min() > 1.0 and X[:, 2].max() < 5.0
+    # multi-view consistency: frame 3's world hits reproject into frame 5
+    # with substantial overlap
+    Xb = scene.world_to_cam(hits, poses[5])
+    _, ok = scene.project(Xb, K, HW)
+    assert ok.mean() > 0.5
+    # raycast from pose 5 at those pixels recovers the SAME surface: compare
+    # world hits of both frames where rays nearly coincide (sanity that the
+    # world is one consistent surface, not per-view)
+    X5, hits5 = scene.raycast(poses[5], K, HW)
+    assert np.abs(hits5[:, 2]
+                  - scene.height(hits5[:, 0], hits5[:, 1])).max() < 1e-9
+
+
+@pytest.fixture(scope="module")
+def oracle_runs():
+    scene = OracleScene(seed=0)
+    poses = make_trajectory(N_FRAMES)
+    return {
+        "strict": run_oracle_slam(scene, poses, HW, STRICT, noise_seed=0),
+        "fast": run_oracle_slam(scene, poses, HW, FAST, noise_seed=0),
+        "poses": poses,
+    }
+
+
+def test_strict_mode_recovers_trajectory(oracle_runs):
+    """With oracle inputs (0.3% depth noise), the full stack must recover
+    the trajectory: matched pixels sub-pixel on average, BA tightens the
+    tracked estimate, final ATE a small fraction of the path scale (~0.9 m
+    span)."""
+    r = oracle_runs["strict"]
+    assert r["mean_pix_err"] < 1.0, r["mean_pix_err"]
+    assert r["ate_ba"] < 0.03, r["ate_ba"]
+    assert r["ate_ba"] <= r["ate_track"] * 1.05, (r["ate_ba"],
+                                                  r["ate_track"])
+
+
+def test_fast_mode_ate_cost_is_bounded(oracle_runs):
+    """The production matcher deviations may cost accuracy, but the cost
+    must stay bounded: fast-mode ATE within 2x strict (+1 mm absolute
+    slack), matched-pixel error within +0.5 px. Measured values (recorded
+    2026-08-17, docs/PERFORMANCE.md): ~1.1x ATE, +0.2 px."""
+    s = oracle_runs["strict"]
+    f = oracle_runs["fast"]
+    assert f["ate_ba"] < s["ate_ba"] * 2.0 + 1e-3, (f["ate_ba"], s["ate_ba"])
+    assert f["mean_pix_err"] < s["mean_pix_err"] + 0.5
