@@ -70,6 +70,32 @@ def test_strict_mode_recovers_trajectory(oracle_runs):
                                                   r["ate_track"])
 
 
+def test_long_chain_stays_stable():
+    """48-frame chain at low resolution — the regression test for the
+    quaternion-norm explosion (ops/lie.py compose/inv renormalization).
+
+    Without renormalization, |q| cubes per frame through the tracker chain
+    ``T_new = T_k ∘ solve(T_k⁻¹ ∘ T_prev)`` and EXPLODES at frame ~33-37 of
+    every run regardless of noise level (the ray residuals are
+    |q|-invariant, so the solver keeps 'converging' on garbage). 16-frame
+    tests can never see this — chain-dynamics bugs need chain-length runs.
+    """
+    scene = OracleScene(seed=0)
+    poses = make_trajectory(48)
+    r = run_oracle_slam(scene, poses, (24, 32), FAST, noise_seed=0)
+    # every keyframe promoted, no skips: the chain never broke
+    assert r["n_skipped"] == 0, r["n_skipped"]
+    assert len(r["kf_ids"]) == 12
+    T = r["T_kf_track"]
+    assert np.isfinite(T).all()
+    # quaternions stay unit through 47 compose/inv/solve rounds
+    qn = np.linalg.norm(T[:, 3:7], axis=-1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-4)
+    # scale stays sane and the trajectory is recovered
+    assert np.abs(T[:, 7] - 1.0).max() < 0.2
+    assert r["ate_ba"] < 0.15, r["ate_ba"]  # low-res: ~0.083 measured
+
+
 def test_fast_mode_ate_cost_is_bounded(oracle_runs):
     """The production matcher deviations may cost accuracy, but the cost
     must stay bounded: fast-mode ATE within 2x strict (+1 mm absolute
