@@ -194,7 +194,8 @@ def _euler_to_quat(ang):
 
 def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
                     sigma_point=0.003, sigma_desc=0.02, ba_iters=30,
-                    sigma_ray=0.003, sigma_dist=10.0, debug=False):
+                    sigma_ray=0.003, sigma_dist=10.0, use_calib=False,
+                    sigma_pixel=1.0, sigma_depth=10.0, debug=False):
     """Frame-to-keyframe tracking + keyframe BA over oracle inputs, using the
     PRODUCTION math components (ops/matching.py, tracker's Sim(3) GN solver,
     slam/factor_graph.py) with the network replaced by exact geometry +
@@ -202,16 +203,21 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
 
     ``mode``: dict with ``refine_mode``, ``level_step``, ``plateau_frac``
     (the speed-deviation knobs under study; radius/dilation stay at the
-    production 3/5). Returns a dict of metrics: keyframe ATE before/after
-    BA, mean matched-pixel error vs the ground-truth correspondence, and
-    the estimated keyframe poses.
+    production 3/5). ``use_calib`` switches the frame solve AND the BA to
+    the calibrated (pixel + log-depth) residuals with the scene's exact
+    intrinsics, mirroring track_core's calib branch (ray-constrained
+    pointmaps, measured [u, v, log z] from the keyframe canonical map).
+    Returns a dict of metrics: keyframe ATE before/after BA, mean
+    matched-pixel error vs the ground-truth correspondence, and the
+    estimated keyframe poses.
     """
     import jax
     import jax.numpy as jnp
 
-    from mast3r_slam_tpu.ops import lie, matching
+    from mast3r_slam_tpu.ops import geometry, lie, matching
     from mast3r_slam_tpu.slam import factor_graph as FG
-    from mast3r_slam_tpu.slam.tracker import opt_pose_ray_dist_sim3
+    from mast3r_slam_tpu.slam.tracker import (opt_pose_calib_sim3,
+                                              opt_pose_ray_dist_sim3)
 
     H, W = hw
     n = H * W
@@ -240,6 +246,8 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
         plateau_frac=float(mode.get("plateau_frac", 0.001)),
     )
 
+    Kj = jnp.asarray(K, jnp.float32)
+
     @jax.jit
     def step(Xff, Xkf_in_f, Dff, Dkf, Xk_can, T_init, T_k, idx_init):
         idx, valid = matching.match(
@@ -247,12 +255,28 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
             Dff.reshape(1, H, W, -1), Dkf.reshape(1, H, W, -1),
             idx_1_to_2_init=idx_init[None], **match_kw)
         idx0 = idx[0]
-        Xf = Xff[idx0]
         Qk = jnp.full((n, 1), 2.0)
-        T_new, T_CkCf, ok = opt_pose_ray_dist_sim3(
-            Xf, Xk_can, T_init, T_k, Qk,
-            valid[0].astype(jnp.float32),
-            sigma_ray, sigma_dist, 1.345, 50, 1e-3, 1e-3)
+        vm = valid[0].astype(jnp.float32)
+        if use_calib:
+            # track_core's calib branch: ray-constrained pointmaps, fixed
+            # [u, v, log z] measurements from the keyframe canonical map
+            Xf_all = geometry.constrain_points_to_ray(hw, Xff, Kj)
+            Xk_c = geometry.constrain_points_to_ray(hw, Xk_can, Kj)
+            Xf = Xf_all[idx0]
+            uv_k = geometry.get_pixel_coords(hw, dtype=Xf.dtype)
+            valid_meas = Xk_c[..., 2:3] > 1e-6
+            logz = jnp.where(valid_meas,
+                             jnp.log(jnp.clip(Xk_c[..., 2:3], 1e-12)), 0.0)
+            meas_k = jnp.where(valid_meas,
+                               jnp.concatenate([uv_k, logz], axis=-1), 0.0)
+            T_new, T_CkCf, ok = opt_pose_calib_sim3(
+                Xf, Xk_c, T_init, T_k, Qk, vm, meas_k, valid_meas, Kj, hw,
+                sigma_pixel, sigma_depth, 1.345, 50, 1e-3, 1e-3, -10, 1e-6)
+        else:
+            Xf = Xff[idx0]
+            T_new, T_CkCf, ok = opt_pose_ray_dist_sim3(
+                Xf, Xk_can, T_init, T_k, Qk, vm,
+                sigma_ray, sigma_dist, 1.345, 50, 1e-3, 1e-3)
         return idx0, valid[0, :, 0], T_new, ok
 
     def cross_map(k_hits, T_frame):
@@ -383,14 +407,27 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
     X_all = jnp.asarray(np.stack([Xs[f] for f in kf_ids]))
     Cavg = jnp.ones((m, n, 1), jnp.float32)
     Q_e = jnp.full((E_pad, n, 1), 2.0, jnp.float32)
-    meas = FG.precompute_meas_rays(
-        X_all, Cavg, jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx_e),
-        jnp.asarray(val_e), Q_e, 0.0, 1.5)
     free = jnp.asarray(np.arange(m) > 0)
     T_in = jnp.asarray(np.stack(T_kf_est))
-    T_out = FG.gauss_newton_rays(
-        T_in, meas, jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(mask_e),
-        free, sigma_ray, sigma_dist, ba_iters, 1e-8)
+    if use_calib:
+        # the reference constrains every pointmap through the pixel rays
+        # before the calib solve (global_opt.py:145-150)
+        X_all = jax.vmap(
+            lambda X: geometry.constrain_points_to_ray(hw, X, Kj))(X_all)
+        meas = FG.precompute_meas_calib(
+            X_all, Cavg, jnp.asarray(ii), jnp.asarray(jj),
+            jnp.asarray(idx_e), jnp.asarray(val_e), Q_e, W, 1e-6, 0.0, 1.5)
+        T_out = FG.gauss_newton_calib(
+            T_in, meas, Kj, jnp.asarray(ii), jnp.asarray(jj),
+            jnp.asarray(mask_e), free, hw, -10, 1e-6, sigma_pixel,
+            sigma_depth, ba_iters, 1e-8)
+    else:
+        meas = FG.precompute_meas_rays(
+            X_all, Cavg, jnp.asarray(ii), jnp.asarray(jj),
+            jnp.asarray(idx_e), jnp.asarray(val_e), Q_e, 0.0, 1.5)
+        T_out = FG.gauss_newton_rays(
+            T_in, meas, jnp.asarray(ii), jnp.asarray(jj),
+            jnp.asarray(mask_e), free, sigma_ray, sigma_dist, ba_iters, 1e-8)
     T_out = np.asarray(T_out)
 
     gt_kf = [poses[f] for f in kf_ids]

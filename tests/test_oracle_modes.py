@@ -96,6 +96,21 @@ def test_long_chain_stays_stable():
     assert r["ate_ba"] < 0.15, r["ate_ba"]  # low-res: ~0.083 measured
 
 
+def test_calibrated_path_recovers_trajectory():
+    """The calibrated solvers (opt_pose_calib_sim3 + gauss_newton_calib,
+    both LM) against exact intrinsics: pixel + log-depth residuals must
+    recover the trajectory at least as well as the uncalibrated path — the
+    calib formulation observes scale directly through the fixed [u, v,
+    log z] measurements."""
+    scene = OracleScene(seed=0)
+    poses = make_trajectory(N_FRAMES)
+    r = run_oracle_slam(scene, poses, HW, FAST, noise_seed=0,
+                        use_calib=True)
+    assert r["n_skipped"] == 0, r["n_skipped"]
+    assert np.isfinite(r["T_kf_ba"]).all()
+    assert r["ate_ba"] < 0.03, r["ate_ba"]
+
+
 def test_fast_mode_ate_cost_is_bounded(oracle_runs):
     """The production matcher deviations may cost accuracy, but the cost
     must stay bounded: fast-mode ATE within 2x strict (+1 mm absolute
