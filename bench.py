@@ -93,7 +93,9 @@ def main():
     log(f"devices: {jax.devices()}")
     log("initializing ViT-L params...")
     params = M.init_params(jax.random.PRNGKey(0), cfg)
-    params = jax.device_put(M.cast_params_for_compute(params, cfg))
+    # same load-time prep as production (main.py): weight pre-cast +
+    # stacked dual-decoder — the bench must measure the production decode
+    params = jax.device_put(M.prepare_params(params, cfg))
 
     key = jax.random.PRNGKey(42)
     img_f = jax.random.uniform(key, (1, H, W, 3), jnp.float32, -1.0, 1.0)

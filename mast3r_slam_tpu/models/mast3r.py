@@ -262,9 +262,12 @@ def prepare_params(params, cfg: MASt3RConfig):
     """Load-time parameter prep: compute-dtype weight cast + stacked
     dual-decoder views. Returns a NEW dict; the original stays checkpoint-
     shaped. ``dec_stacked`` routes :func:`decode_pair` to the batched
-    two-stream chain."""
+    two-stream chain; the per-stream block lists are DROPPED from the
+    prepared dict (decode_pair never reads them once stacked — keeping both
+    would hold ~450 MB of duplicate decoder weights in HBM)."""
     p = cast_params_for_compute(params, cfg)
     p["dec_stacked"] = stack_decoder_params(p)
+    del p["dec_blocks"], p["dec_blocks2"]
     return p
 
 

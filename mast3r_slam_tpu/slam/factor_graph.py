@@ -587,10 +587,12 @@ def _lm_loop(system, T_WC, free_mask, cap, max_iter, delta_thresh, damping):
         H = jnp.where(accept, H_c, H)
         g = jnp.where(accept, g_c, g)
         lam = jnp.where(accept, jnp.maximum(damping, lam * 0.25), lam * 10.0)
-        # a tiny ACCEPTED step means converged; a Cholesky failure must not
-        # read as convergence (dx=0) — λ was just raised, keep iterating
-        delta = jnp.where(chol_ok, jnp.linalg.norm(dx),
+        # only a tiny ACCEPTED step means converged; rejections (incl.
+        # Cholesky failures) shrink dx as λ escalates and must not read as
+        # convergence — the λ cap below bounds a reject-only stall instead
+        delta = jnp.where(chol_ok & accept, jnp.linalg.norm(dx),
                           jnp.asarray(jnp.inf, dx.dtype))
+        delta = jnp.where(lam > 1e8, 0.0, delta)   # stuck: no step accepts
         return T_ref, cost_ref, H, g, lam, it + 1, delta
 
     def cond(state):

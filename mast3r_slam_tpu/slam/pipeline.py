@@ -160,9 +160,13 @@ class Backend:
             ok = relocalization(frame, self.keyframes, self.graph,
                                 self.retrieval, self.cfg)
             if ok:
-                self.states.set_mode(Mode.TRACKING)
-                # stale queued counts belong to this (now resolved) episode
+                # clear BEFORE flipping the mode: once TRACKING is visible
+                # the frontend may fail a new frame and queue a fresh reloc
+                # request — clearing afterwards would wipe that new
+                # episode's first request (stale counts belong to this
+                # resolved episode only)
                 self.states.clear_reloc()
+                self.states.set_mode(Mode.TRACKING)
             else:
                 self.states.dequeue_reloc()
             return True

@@ -295,6 +295,9 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
     n_skipped = 0
     n_relocs = 0
     for f in range(1, len(poses)):
+        # cadence flag set BEFORE the solve so a skipped boundary frame
+        # still promotes the next successfully tracked frame
+        promote_due = promote_due or (f % kf_every == 0)
         Xkf_in_f = cross_map(hits_all[k], poses[f])
         idx0, vm, T_new, ok = step(
             jnp.asarray(Xs[f]), jnp.asarray(Xkf_in_f), jnp.asarray(Ds[f]),
@@ -334,7 +337,6 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
         # keyframe cadence, but like production the promotion happens on a
         # SUCCESSFULLY tracked frame (a missed boundary promotes the next
         # good frame instead of deadlocking on a stale keyframe)
-        promote_due = promote_due or (f % kf_every == 0)
         if promote_due:
             kf_ids.append(f)
             T_kf_est.append(np.asarray(T_new))

@@ -257,15 +257,51 @@ def test_reloc_success_clears_all_queued_counts():
 def test_tracker_warm_start_reset_on_foreign_keyframe(monkeypatch):
     """A reloc-appended keyframe changes the tracking target: the tracker
     must drop its cross-frame matcher warm start (converged against a
-    DIFFERENT keyframe) instead of seeding with it."""
-    from mast3r_slam_tpu.slam.tracker import FrameTracker
+    DIFFERENT keyframe) instead of seeding with it. Exercises the REAL
+    guard inside FrameTracker.track via a stubbed track_core that captures
+    the idx_init actually passed to the device program."""
+    from types import SimpleNamespace
+
+    from mast3r_slam_tpu.slam import tracker as TR
 
     kfs = make_keyframes(2)
-    tr = FrameTracker.__new__(FrameTracker)  # no model needed for this
-    tr.idx_f2k = jnp.zeros((1, N), jnp.int32)
+    captured = {}
+
+    def fake_track_core(params, mcfg, img, feat_k, pos_k, idx_init, *a, **kw):
+        captured["idx_init"] = np.asarray(idx_init)
+        # match_frac below min_match_frac → track() exits right after the
+        # host-side bookkeeping; only these keys are read before that
+        return {
+            "idx_f2k": jnp.zeros((1, N), jnp.int32),
+            "feat_f": jnp.zeros((1, N, 8)),
+            "pos_f": jnp.zeros((1, N, 2), jnp.int32),
+            "X_frame": jnp.zeros((N, 3)),
+            "C_frame": jnp.zeros((N, 1)),
+            "match_frac": jnp.asarray(0.0),
+        }
+
+    monkeypatch.setattr(TR, "track_core", fake_track_core)
+
+    tr = TR.FrameTracker.__new__(TR.FrameTracker)
+    tr.keyframes = kfs
+    tr.cfg = dict(CFG["local_opt"], min_match_frac=0.5, huber=1.345,
+                  rel_error=1e-3, match_frac_thresh=0.333,
+                  filtering_mode="weighted_pointmap",
+                  filtering_score="median")
+    tr.model = SimpleNamespace(params={}, cfg=None,
+                               match_cfg=CFG.get("matching", {}))
+    tr.quality_service = None
+    tr.use_calib = False
+    tr.match_cfg = CFG.get("matching", {})
+    # warm start converged against keyframe 0; current target is keyframe 1
+    tr.idx_f2k = jnp.full((1, N), 7, jnp.int32)
     tr._warm_kf_idx = 0
-    # simulate the guard at the top of track(): target changed 0 -> 1
-    kf_idx = 1
-    if tr._warm_kf_idx is not None and tr._warm_kf_idx != kf_idx:
-        tr.reset_idx_f2k()
-    assert tr.idx_f2k is None and tr._warm_kf_idx is None
+
+    frame = Frame(frame_id=9, img=jnp.zeros((H, W, 3)), img_shape=(H, W),
+                  img_true_shape=(H, W), uimg=np.zeros((H, W, 3), np.float32))
+    frame.T_WC = lie.identity()
+    tr.track(frame)
+
+    # the guard must have dropped the foreign warm start: the device
+    # program received the identity init, not the poisoned one
+    assert (captured["idx_init"] == np.arange(N)).all()
