@@ -158,7 +158,7 @@ def main():
         Dff = _norm(D_scene + 0.05 * res_ff["desc"])
         Dkf = _norm(D_shift + 0.05 * res_kf["desc"])
         idx_f2k, valid = matching.match(Xff, Xkf, Dff, Dkf,
-                                        level_step=2)  # production default
+                                        radius=2, level_step=2)  # production defaults (config/base.yaml)
         idx0 = idx_f2k[0]
         vmatch = valid[0]
         Xk = Xkf.reshape(n_pix, 3)
@@ -385,7 +385,8 @@ def _e2e_section(env):
         Db1 = _norm(D_scene + 0.05 * rb1["desc"])
         Db2 = _norm(D_shift + 0.05 * rb2["desc"])
         return matching.match(Xb1, Xb2, Db1, Db2,
-                              idx_1_to_2_init=idx_warm[None], level_step=2)
+                              idx_1_to_2_init=idx_warm[None], radius=2,
+                              level_step=2)
 
     @jax.jit
     def premeas_event(X_kfs, Cavg, Q2, idx_new, valid_new, idx_reused):

@@ -240,7 +240,9 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
         hits_all.append(hits)
 
     match_kw = dict(
-        radius=3, dilation_max=5,
+        radius=int(mode.get("radius", 3)),
+        dilation_max=int(mode.get("dilation_max", 5)),
+        max_iter=int(mode.get("max_iter", 10)),
         refine_mode=mode.get("refine_mode", "plus"),
         level_step=int(mode.get("level_step", 2)),
         plateau_frac=float(mode.get("plateau_frac", 0.001)),

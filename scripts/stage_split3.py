@@ -83,7 +83,8 @@ def main():
         Xkf = X_shift + 1e-4 * jnp.tanh(res_kf["pts3d"])
         Dff = _norm(D_scene + 0.05 * res_ff["desc"])
         Dkf = _norm(D_shift + 0.05 * res_kf["desc"])
-        idx_f2k, valid = matching.match(Xff, Xkf, Dff, Dkf, level_step=2)
+        idx_f2k, valid = matching.match(Xff, Xkf, Dff, Dkf, radius=2,
+                                        level_step=2)
         if mode == "match":
             return (idx_f2k, valid)
         idx0 = idx_f2k[0]
