@@ -386,3 +386,58 @@ def test_cellwalk_raycast_nonfinite_cells_match_dense():
     np.testing.assert_array_equal(np.asarray(ok_c), np.asarray(ok_d))
     np.testing.assert_allclose(np.asarray(new_c), np.asarray(new_d),
                                atol=1e-5)
+
+
+def test_projective_build_raycast_recovers_oracle_surface():
+    """Curved-geometry end-to-end check against the analytic oracle: build
+    a TSDF from an EXACT curved-surface pointmap, raycast noisy points back,
+    and compare the refined hits against the closed-form surface height —
+    validates trilinear interpolation + banding on non-planar geometry
+    (the other TSDF tests use planes)."""
+    from mast3r_slam_tpu.services.tsdf_local import (
+        build_block_tsdf_projective, raycast_block)
+    from mast3r_slam_tpu.utils.oracle_scene import OracleScene
+
+    scene = OracleScene(seed=3)
+    hw = (96, 128)   # fine pixel grid: the projective build samples the
+    # surface at the voxel's NEAREST pixel, so surface-depth ripple scales
+    # with (slope x footprint/pixel) — coarse grids limit refine accuracy
+    K = scene.intrinsics(hw, fov_scale=2.0)
+    T_id = np.concatenate([np.zeros(3), [0, 0, 0, 1], [1.0]]).astype(
+        np.float32)
+    X_cam, hits = scene.raycast(T_id, K, hw)   # identity pose: cam == world
+    n = X_cam.shape[0]
+
+    G = 48
+    voxel = 0.02
+    zc = float(np.median(X_cam[:, 2]))
+    grid_origin = jnp.asarray([-0.45, -0.45, zc - 0.48], jnp.float32)
+    tsdf, weight = build_block_tsdf_projective(
+        jnp.asarray(X_cam), jnp.ones(n), lie.identity(), grid_origin, voxel,
+        0.08, G, hw)
+
+    noisy = X_cam.copy()
+    noisy[:, 2] += RNG.normal(size=n).astype(np.float32) * 0.03
+    sel = np.arange(0, n, 3)
+    B = 1 << int(np.ceil(np.log2(sel.size)))
+    sel_pad = np.zeros(B, np.int64)
+    sel_pad[:sel.size] = sel
+    mask_pad = np.zeros(B, bool)
+    mask_pad[:sel.size] = True
+    new_pts, ok = raycast_block(
+        tsdf, weight, jnp.asarray(noisy)[jnp.asarray(sel_pad)],
+        jnp.asarray(mask_pad), jnp.zeros(3), grid_origin, voxel,
+        band=0.1, min_weight=0.01, max_displacement=0.12, n_samples=64,
+    )
+    new_pts = np.asarray(new_pts)[:sel.size]
+    ok = np.asarray(ok)[:sel.size]
+    assert ok.mean() > 0.4, ok.mean()
+    # refined points must lie ON the analytic surface (within a voxel),
+    # and be much closer to it than the noisy inputs were
+    res_after = np.abs(new_pts[ok][:, 2]
+                       - scene.height(new_pts[ok][:, 0], new_pts[ok][:, 1]))
+    res_before = np.abs(noisy[sel][ok][:, 2]
+                        - scene.height(noisy[sel][ok][:, 0],
+                                       noisy[sel][ok][:, 1]))
+    assert res_after.mean() < res_before.mean() * 0.75
+    assert res_after.mean() < 1.2 * voxel, res_after.mean()
