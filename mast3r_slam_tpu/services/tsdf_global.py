@@ -101,11 +101,13 @@ class TSDFPoseOptimizer:
         if X_cam is None:
             return False
         T = T0.copy()
-        for _ in range(self.max_iters):
-            Xw = np.asarray(lie.act(T[None], X_cam))
+
+        def system(T_cur):
+            """Weighted TSDF normal equations + cost at ``T_cur``."""
+            Xw = np.asarray(lie.act(T_cur[None], X_cam))
             phi, grad, valid = self.volume.query(Xw)
             if valid.sum() < 32:
-                return False
+                return None
             p = Xw[valid]
             g = grad[valid]
             r = phi[valid]
@@ -118,16 +120,42 @@ class TSDFPoseOptimizer:
             )  # (M, 7)
             H = (J * ww[:, None]).T @ J
             b = (J * ww[:, None]).T @ r
-            H += self.damping * np.eye(7)
+            # mean (not sum) so accept/reject is insensitive to the number
+            # of in-band samples changing between candidate poses
+            cost = float(np.mean(ww * r * r))
+            return H, b, cost
+
+        # Levenberg-Marquardt accept/reject (same rationale as the tracker
+        # and BA solvers, tracker._lm_pose_loop): plain full-step GN
+        # overshoots on curved geometry — the TSDF gradient is a noisy
+        # finite difference and the band is thin — measured WORSENING a
+        # 0.034 offset to 0.116 on the oracle surface before this.
+        sysT = system(T)
+        if sysT is None:
+            return False
+        H, b, cost = sysT
+        lam = self.damping
+        for _ in range(self.max_iters):
+            Hd = H + lam * np.diag(np.maximum(np.diagonal(H), 1e-12))
             try:
-                delta = np.linalg.solve(H, -b)
+                delta = np.linalg.solve(Hd, -b)
             except np.linalg.LinAlgError:
-                return False
-            T = np.asarray(lie.compose(lie.exp(
+                lam *= 10.0
+                continue
+            T_cand = np.asarray(lie.compose(lie.exp(
                 np.asarray(delta, np.float32)
             ), T))
-            if np.linalg.norm(delta) < 1e-6:
-                break
+            sysC = system(T_cand)
+            if sysC is not None and sysC[2] <= cost * (1.0 + 1e-6):
+                T = T_cand
+                H, b, cost = sysC
+                lam = max(self.damping, lam * 0.25)
+                if np.linalg.norm(delta) < 1e-6:
+                    break
+            else:
+                lam *= 10.0
+                if lam > 1e8:
+                    break
         with self.keyframes.lock:
             if int(self.keyframes.version[kf_idx]) != version:
                 return False  # pose moved under us (backend BA); discard

@@ -91,7 +91,7 @@ def test_tsdf_pose_optimizer_reduces_offset():
 
     cfg = {"tsdf_global": {"voxel_size": 0.02, "trunc_dist": 0.1,
                            "samples_per_kf": 1500, "lambda": 1.0,
-                           "max_iterations": 4, "min_confidence": 0.0,
+                           "max_iterations": 10, "min_confidence": 0.0,
                            "table_capacity": 1 << 16}}
     vol = TSDFVolume(cfg)
     # World model: plane at z=1 observed from origin.
@@ -441,3 +441,73 @@ def test_projective_build_raycast_recovers_oracle_surface():
                                        noisy[sel][ok][:, 1]))
     assert res_after.mean() < res_before.mean() * 0.75
     assert res_after.mean() < 1.2 * voxel, res_after.mean()
+
+
+def test_tsdf_pose_optimizer_curved_oracle_surface():
+    """Global-TSDF pose optimizer on CURVED oracle geometry: integrate the
+    exact surface from the true pose, offset the keyframe, and verify the
+    Sim(3) TSDF-residual optimizer pulls it back (the other optimizer test
+    uses a plane, which cannot exercise the rotational/scale couplings of
+    the J = [∇φ | p×∇φ | p·∇φ] rows)."""
+    from mast3r_slam_tpu.services.tsdf_global import (TSDFPoseOptimizer,
+                                                      TSDFVolume)
+    from mast3r_slam_tpu.slam.frame import Frame, KeyframeBuffer
+    from mast3r_slam_tpu.utils.oracle_scene import OracleScene
+
+    scene = OracleScene(seed=4)
+    h = w = 32
+    n = h * w
+    K = scene.intrinsics((h, w), fov_scale=1.5)
+    T_id = np.concatenate([np.zeros(3), [0, 0, 0, 1], [1.0]]).astype(
+        np.float32)
+    X_cam, hits = scene.raycast(T_id, K, (h, w))
+
+    cfg = {"tsdf_global": {"voxel_size": 0.02, "trunc_dist": 0.1,
+                           "samples_per_kf": 1024, "lambda": 1.0,
+                           "max_iterations": 12, "min_confidence": 0.0,
+                           "table_capacity": 1 << 18}}
+    vol = TSDFVolume(cfg)
+    # integrate a DENSER raycast of the same view so the narrow TSDF band
+    # is contiguous (32x32 points are ~5 cm apart at this depth — sparser
+    # than the 2 cm voxels, so offset queries would fall between the tubes)
+    Kd = scene.intrinsics((128, 128), fov_scale=1.5)
+    _, hits_dense = scene.raycast(T_id, Kd, (128, 128))
+    vol.integrate(np.asarray(hits_dense, np.float32),
+                  np.ones(hits_dense.shape[0]), np.zeros(3))
+
+    kfs = KeyframeBuffer(h, w, capacity=4, feat_dim=8)
+    fr = Frame(frame_id=0, img=jnp.zeros((h, w, 3)), img_shape=(h, w),
+               img_true_shape=(h, w), uimg=np.zeros((h, w, 3), np.float32))
+    fr.X_canon = jnp.asarray(X_cam)
+    fr.C = jnp.ones((n, 1))
+    fr.feat = jnp.zeros((1, kfs.num_patches, 8))
+    fr.pos = jnp.zeros((1, kfs.num_patches, 2), jnp.int32)
+    fr.N = 1
+    # offset pose: small translation + rotation away from the truth
+    xi = np.asarray([0.015, -0.01, 0.025, 0.01, -0.008, 0.006, 0.0],
+                    np.float32)
+    fr.T_WC = lie.compose(lie.exp(jnp.asarray(xi)), jnp.asarray(T_id))
+    kfs.append(fr)
+
+    err0 = float(jnp.linalg.norm(lie.log(kfs.T_WC[0])))
+    opt = TSDFPoseOptimizer(vol, kfs, cfg)
+    assert opt.optimize_single(0)
+    err1 = float(jnp.linalg.norm(lie.log(kfs.T_WC[0])))
+    # TSDF alignment's contract is SURFACE agreement, not full pose
+    # recovery: smooth geometry leaves near-zero-cost sliding directions
+    # (tangential translation, in-surface rotation) that no TSDF objective
+    # can observe, so the pose may drift along them while the observable
+    # error collapses. Assert the observable part — mean distance of the
+    # keyframe's points to the true surface — improves a lot, and the
+    # unobservable drift stays bounded (before the LM fix, plain GN
+    # WORSENED the offset 3.4x, 0.034 -> 0.116).
+    def surf_res(T):
+        Xw = np.asarray(lie.act(jnp.asarray(T)[None], jnp.asarray(X_cam)))
+        return float(np.mean(np.abs(
+            Xw[:, 2] - scene.height(Xw[:, 0], Xw[:, 1]))))
+
+    r0 = surf_res(np.asarray(lie.compose(lie.exp(jnp.asarray(xi)),
+                                         jnp.asarray(T_id))))
+    r1 = surf_res(np.asarray(kfs.T_WC[0]))
+    assert r1 < r0 * 0.5, (r0, r1)
+    assert err1 < err0 * 2.0, (err0, err1)
