@@ -162,3 +162,52 @@ def test_pallas_gram_calib_matches_xla(monkeypatch):
                                np.asarray(H_x) / h_scale, atol=2e-2)
     np.testing.assert_allclose(np.asarray(g_p) / g_scale,
                                np.asarray(g_x) / g_scale, atol=2e-2)
+
+
+def test_lm_stabilizes_single_edge_pose():
+    """Regression for the pre-LM oscillation: a pose held by ONE two-way
+    edge of low-relief geometry swung its scale 0.99 -> 0.49 over 10
+    fixed-damping GN iterations (oracle-scene capture). With LM
+    accept/reject the solve must stay sane: scale within 10% and the
+    perturbed pose pulled TOWARD its neighbor-consistent value."""
+    rng = np.random.default_rng(3)
+    cap, n = 3, 512
+    # low-relief surface (weak scale observability — the hard case)
+    xy = (rng.random((n, 2)) - 0.5) * 1.6
+    z = 2.5 + 0.05 * np.sin(xy[:, 0] * 2.0) + 0.04 * np.cos(xy[:, 1] * 1.7)
+    Xw = np.concatenate([xy, z[:, None]], 1).astype(np.float32)
+
+    T_true = [lie.identity(),
+              lie.exp(jnp.asarray([0.05, 0, 0, 0, 0.01, 0, 0])),
+              lie.exp(jnp.asarray([0.1, 0.02, 0, 0.01, 0, 0, 0]))]
+    X = jnp.stack([lie.act(lie.inv(T)[None], jnp.asarray(Xw))
+                   for T in T_true])
+    X = X + 0.003 * X[..., 2:3] * rng.standard_normal(X.shape).astype(
+        np.float32)
+    Cavg = jnp.ones((cap, n, 1))
+
+    # pose 2 is held ONLY by the (1, 2) pair; pose 1 by (0, 1) too
+    ii = jnp.asarray([0, 1, 1, 2, 0, 0, 0, 0], jnp.int32)
+    jj = jnp.asarray([1, 0, 2, 1, 1, 1, 1, 1], jnp.int32)
+    mask = jnp.asarray([1, 1, 1, 1, 0, 0, 0, 0], jnp.float32)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (8, n))
+    valid = jnp.ones((8, n, 1), bool)
+    Q = jnp.full((8, n, 1), 4.0)
+    meas = FG.precompute_meas_rays(X, Cavg, ii, jj, idx, valid, Q, 0.0, 1.5)
+
+    # perturb pose 2 (incl. scale) — the weakly-held pose
+    T_in = jnp.stack([
+        T_true[0], T_true[1],
+        lie.retr(T_true[2], jnp.asarray([0.02, -0.01, 0.03, 0.01, 0, 0,
+                                         0.05]))])
+    free = jnp.asarray([False, False, True])
+    err0 = float(jnp.linalg.norm(
+        lie.log(lie.compose(lie.inv(T_in[2]), T_true[2]))))
+
+    T_out = FG.gauss_newton_rays(T_in, meas, ii, jj, mask, free,
+                                 0.003, 10.0, 12, 1e-9)
+    s2 = float(T_out[2, 7])
+    assert 0.9 < s2 < 1.1, s2
+    err1 = float(jnp.linalg.norm(
+        lie.log(lie.compose(lie.inv(T_out[2]), T_true[2]))))
+    assert err1 < err0 * 0.7, (err0, err1)
