@@ -298,3 +298,46 @@ def test_main_end_to_end_downsampled(synth_dataset, tiny_config_file,
             for v in traj.read_text().splitlines()[0].split()]
     assert len(vals) == 8 and np.isfinite(vals).all()
     assert (out / f"{synth_dataset.name}.ply").stat().st_size > 100
+
+
+def test_main_long_chain_pipeline(tiny_config_file, tmp_path_factory,
+                                  tmp_path, monkeypatch):
+    """36-frame CLI run: the PIPELINE-level chain regression.
+
+    Chain-dynamics bugs are invisible to short runs — the quaternion-norm
+    explosion (ops/lie.py) only fired after ~33 frames of the tracker's
+    per-frame compose/inv chain, which this run crosses through the real
+    FrameTracker/pipeline code path. Asserts every exported pose is finite
+    with a unit quaternion."""
+    import cv2
+
+    import main as cli
+
+    root = tmp_path_factory.mktemp("synth_long")
+    (root / "rgb").mkdir()
+    rng = np.random.default_rng(1)
+    base = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
+    rows = []
+    n_frames = 36
+    for i in range(n_frames):
+        img = np.roll(base, shift=3 * i, axis=1)
+        cv2.imwrite(str(root / "rgb" / f"{i:04d}.png"), img)
+        rows.append(f"{1e9 + i / 30.0:.6f} rgb/{i:04d}.png")
+    (root / "rgb.txt").write_text("# ts file\n" + "\n".join(rows) + "\n")
+
+    monkeypatch.chdir(tmp_path)
+    cli.main([
+        "--dataset", str(root),
+        "--config", str(tiny_config_file),
+        "--no-viz",
+        "--save-as", "longchain",
+        "--max-frames", str(n_frames),
+    ])
+    traj = pathlib.Path("logs") / "longchain" / root.name / f"{root.name}.txt"
+    assert traj.exists()
+    vals = np.asarray([[float(v) for v in l.split()]
+                       for l in traj.read_text().splitlines() if l.strip()])
+    assert vals.shape[1] == 8
+    assert np.isfinite(vals).all()
+    qn = np.linalg.norm(vals[:, 4:8], axis=-1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-3)
