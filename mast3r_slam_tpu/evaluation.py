@@ -317,5 +317,55 @@ def ate_rmse(gt_file, est_file, align=True, scale=True, max_diff=0.02):
     }
 
 
+def rpe_rmse(gt_file, est_file, delta=1, align_scale=True, max_diff=0.02):
+    """Relative pose error over ``delta``-step pairs (evo_rpe equivalent).
+
+    Drift metric complementing :func:`ate_rmse`: for each associated index
+    pair (i, i+delta), compares the ESTIMATED relative motion against the
+    ground-truth relative motion; translation part reported, with a global
+    scale correction (monocular trajectories) when ``align_scale``. Returns
+    the same stats dict shape as ate_rmse.
+    """
+    ts_g, t_g, q_g = load_tum_traj(gt_file)
+    ts_e, t_e, q_e = load_tum_traj(est_file)
+    ie, ig = associate(ts_e, ts_g, max_diff)
+    if len(ie) < delta + 2:
+        raise ValueError(f"only {len(ie)} associated pairs")
+    P, G = t_e[ie], t_g[ig]
+    if align_scale:
+        # relative errors are invariant to a global R/t, so only the SCALE
+        # part of the alignment applies (rotating P without rotating the
+        # per-pose quaternions would mix frames in rel() below)
+        s, _, _ = umeyama_alignment(P, G, with_scale=True)
+        P = s * P
+
+    def rel(tr, q, i, j):
+        # relative translation expressed in frame i: R_i^T (t_j - t_i)
+        x, y, z, w = q[i] / np.linalg.norm(q[i])
+        Rm = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+        return Rm.T @ (tr[j] - tr[i])
+
+    errs = []
+    for a in range(len(ie) - delta):
+        b = a + delta
+        d_e = rel(P, q_e[ie], a, b)
+        d_g = rel(G, q_g[ig], a, b)
+        errs.append(np.linalg.norm(d_e - d_g))
+    err = np.asarray(errs)
+    return {
+        "rmse": float(np.sqrt(np.mean(err ** 2))),
+        "mean": float(err.mean()),
+        "median": float(np.median(err)),
+        "std": float(err.std()),
+        "min": float(err.min()),
+        "max": float(err.max()),
+        "n_pairs": int(len(err)),
+    }
+
+
 if __name__ == "__main__":
     main_ape()

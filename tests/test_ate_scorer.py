@@ -194,3 +194,51 @@ def test_euroc_csv_groundtruth_scores_like_tum(tmp_path):
     r_csv = ate_rmse(str(csv), str(est), align=True, scale=True)
     assert r_csv["n_pairs"] == r_tum["n_pairs"] == n
     np.testing.assert_allclose(r_csv["rmse"], r_tum["rmse"], rtol=1e-9)
+
+
+def test_rpe_rmse_basics(tmp_path):
+    """RPE: zero for an exact copy; scale-corrected copy also ~zero; a
+    per-step drift shows up with the expected magnitude; invariant to a
+    global rigid transform of the estimate."""
+    import numpy as np
+
+    from mast3r_slam_tpu.evaluation import rpe_rmse
+
+    rng = np.random.default_rng(0)
+    n = 40
+    ts = 1e9 + np.arange(n) / 30.0
+    t = np.cumsum(rng.normal(size=(n, 3)) * 0.02, axis=0)
+    q = np.tile([0.0, 0.0, 0.0, 1.0], (n, 1))
+
+    def write(path, tr, quat):
+        rows = [f"{ts[i]:.6f} " + " ".join(f"{v:.9f}" for v in tr[i])
+                + " " + " ".join(f"{v:.9f}" for v in quat[i])
+                for i in range(n)]
+        path.write_text("\n".join(rows) + "\n")
+
+    gt = tmp_path / "gt.txt"
+    write(gt, t, q)
+
+    est = tmp_path / "est_same.txt"
+    write(est, t, q)
+    assert rpe_rmse(gt, est)["rmse"] < 1e-9
+
+    est2 = tmp_path / "est_scaled.txt"
+    write(est2, t * 3.0, q)
+    assert rpe_rmse(gt, est2)["rmse"] < 1e-6
+
+    # constant drift of 5 mm per step along x
+    est3 = tmp_path / "est_drift.txt"
+    drift = np.outer(np.arange(n), [0.005, 0, 0])
+    write(est3, t + drift, q)
+    r = rpe_rmse(gt, est3, align_scale=False)
+    assert abs(r["rmse"] - 0.005) < 1e-3, r["rmse"]
+
+    # global rigid transform of the estimate: RPE unchanged (~0)
+    ang = 0.3
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    qz = np.tile([0.0, 0.0, np.sin(ang / 2), np.cos(ang / 2)], (n, 1))
+    est4 = tmp_path / "est_rot.txt"
+    write(est4, t @ R.T + np.array([1.0, -2.0, 0.5]), qz)
+    assert rpe_rmse(gt, est4, align_scale=False)["rmse"] < 1e-6
