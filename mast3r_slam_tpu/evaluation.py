@@ -212,6 +212,9 @@ def main_ape(argv=None):
     ap.add_argument("-s", "--correct-scale", action="store_true")
     ap.add_argument("-as", dest="align_scale", action="store_true")
     ap.add_argument("--max-diff", type=float, default=0.02)
+    ap.add_argument("--rpe", type=int, default=0, metavar="DELTA",
+                    help="also report relative pose error over DELTA-step "
+                         "pairs (evo_rpe equivalent)")
     args = ap.parse_args(argv)
     align = args.align or args.align_scale
     scale = args.correct_scale or args.align_scale
@@ -221,6 +224,14 @@ def main_ape(argv=None):
     for k in ("rmse", "mean", "median", "std", "min", "max"):
         print(f"  {k:>8s}  {res[k]:.6f}")
     print(f"  pairs: {res['n_pairs']}")
+    if args.rpe > 0:
+        rres = rpe_rmse(args.gt, args.est, delta=args.rpe,
+                        align_scale=scale, max_diff=args.max_diff)
+        print(f"RPE w.r.t. translation part (m), delta={args.rpe}")
+        for k in ("rmse", "mean", "median", "std", "min", "max"):
+            print(f"  {k:>8s}  {rres[k]:.6f}")
+        print(f"  pairs: {rres['n_pairs']}")
+        res["rpe"] = rres
     return res
 
 
