@@ -25,13 +25,23 @@ the reference's 8.5 FPS full-system number (BASELINE.md, reference
 CHANGELOG.md:557, main.py:401-444). Reference call stacks: SURVEY.md
 §3.2/§3.3.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Output protocol (outage-proof — the driver must ALWAYS get a parseable
+line, VERDICT r3 §weak-1): every completed stage prints a full JSON metric
+line immediately (`tracking_fps_512`, then `e2e_fps_512`), so a driver-side
+timeout still captures the newest partial number (last line wins). If the
+TPU backend never answers, a `{"metric": ..., "skipped_reason": ...}` line
+is printed and the process exits 0 within ~4 min. A hard watchdog
+(BENCH_BUDGET_S, default 2100 s) force-exits 0 after re-printing the best
+metric seen so far, so a mid-run tunnel hang can never end in rc=124 with
+nothing parseable.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import jax
@@ -43,12 +53,53 @@ _enable_cache()
 
 BASELINE_FPS = 8.5
 
+# newest metric line emitted so far (the watchdog re-prints it on timeout)
+_LAST_METRIC = {
+    "metric": "e2e_fps_512",
+    "value": 0.0,
+    "unit": "frames/s",
+    "vs_baseline": 0.0,
+    "skipped_reason": "bench did not reach the first measurement",
+}
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def wait_for_device(max_wait_s=1500, probe_timeout_s=330, sleep_s=60):
+def emit(metric, value, **extra):
+    """Print a metric JSON line NOW (incremental; last line wins)."""
+    global _LAST_METRIC
+    _LAST_METRIC = {
+        "metric": metric,
+        "value": round(float(value), 3),
+        "unit": "frames/s",
+        "vs_baseline": round(float(value) / BASELINE_FPS, 3),
+        **extra,
+    }
+    print(json.dumps(_LAST_METRIC), flush=True)
+
+
+def _arm_watchdog(budget_s):
+    """Force-exit 0 with the best-so-far metric if the run hangs.
+
+    The tunnel has been observed to hang mid-run (not just at init); a
+    plain driver timeout then records rc=124 with nothing parseable
+    (BENCH_r03). The watchdog guarantees a parseable line + rc=0.
+    """
+    def _fire():
+        log(f"watchdog: budget {budget_s}s exhausted; emitting last metric")
+        print(json.dumps(_LAST_METRIC), flush=True)
+        sys.stdout.flush()
+        os._exit(0)
+
+    t = threading.Timer(budget_s, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+def wait_for_device(max_wait_s=150, probe_timeout_s=90, sleep_s=20):
     """Ride out transient TPU-tunnel outages before touching the backend.
 
     The axon tunnel intermittently returns ``UNAVAILABLE: TPU backend
@@ -56,7 +107,8 @@ def wait_for_device(max_wait_s=1500, probe_timeout_s=330, sleep_s=60):
     ~40 min outage where even ``jax.devices()`` hung then raised). A failed
     init can poison the in-process backend cache, so probe in a SUBPROCESS
     and only touch the backend here once a probe succeeds. Returns True if
-    a device answered within the budget.
+    a device answered within the budget (~4 min worst case — the driver
+    needs a bounded, parseable outcome more than it needs patience).
     """
     import subprocess
     import time as _time
@@ -73,8 +125,6 @@ def wait_for_device(max_wait_s=1500, probe_timeout_s=330, sleep_s=60):
         except subprocess.TimeoutExpired:
             pass
         if _time.time() > deadline:
-            log("TPU backend still unavailable after "
-                f"{max_wait_s}s of retries; proceeding anyway")
             return False
         if first:
             log("TPU backend unavailable; retrying (tunnel outage?)...")
@@ -83,7 +133,13 @@ def wait_for_device(max_wait_s=1500, probe_timeout_s=330, sleep_s=60):
 
 
 def main():
-    wait_for_device()
+    _arm_watchdog(float(os.environ.get("BENCH_BUDGET_S", "2100")))
+    if not wait_for_device():
+        log("TPU backend unavailable after retry budget; skipping bench")
+        emit("e2e_fps_512", 0.0,
+             skipped_reason="TPU backend unavailable (tunnel outage); "
+             "no measurement possible this round")
+        return
     from mast3r_slam_tpu.models import mast3r as M
     from mast3r_slam_tpu.ops import lie, matching
     from mast3r_slam_tpu.slam.tracker import opt_pose_ray_dist_sim3
@@ -266,21 +322,20 @@ def main():
     dt = (time.perf_counter() - t0) / n_iter
     fps = 1.0 / dt
     log(f"track_step: {dt * 1e3:.1f} ms/frame → {fps:.2f} FPS (frontend only)")
+    # incremental metric line: if the backend section hangs/fails, the
+    # driver still captured the frontend number (last line wins)
+    emit("tracking_fps_512", fps)
 
     # ---- backend programs for the e2e window ------------------------------
-    # (wrapped so a backend failure still reports the frontend metric —
-    # the driver consumes exactly one JSON line)
+    # (wrapped so a backend failure still leaves the frontend metric as the
+    # newest parseable line)
     try:
         _e2e_section(locals())
     except Exception as e:  # pragma: no cover - defensive
         log(f"e2e section failed ({type(e).__name__}: {e}); "
-            "reporting frontend-only FPS")
-        print(json.dumps({
-            "metric": "tracking_fps_512",
-            "value": round(fps, 3),
-            "unit": "frames/s",
-            "vs_baseline": round(fps / BASELINE_FPS, 3),
-        }))
+            "frontend-only FPS already emitted")
+        emit("tracking_fps_512", fps,
+             note="e2e section failed; frontend-only number")
 
 
 def _e2e_section(env):
@@ -488,18 +543,29 @@ def _e2e_section(env):
             log("e2e window trace → /tmp/bench_trace_e2e")
         window_ms.append((time.perf_counter() - t0) / N_FRAMES * 1e3)
         log(f"  window {w}: {window_ms[-1]:.1f} ms/frame")
+        # incremental: a hang in a later window still leaves the best
+        # available e2e estimate as the newest parseable line
+        emit("e2e_fps_512",
+             1e3 / sorted(window_ms)[len(window_ms) // 2],
+             windows_completed=w + 1)
     dt_e2e = sorted(window_ms)[1] / 1e3
     fps_e2e = 1.0 / dt_e2e
     log(f"e2e: {dt_e2e * 1e3:.1f} ms/frame ({KF_EVERY}-frame KF cadence, "
         f"median of 3 windows) → {fps_e2e:.2f} FPS")
 
-    print(json.dumps({
-        "metric": "e2e_fps_512",
-        "value": round(fps_e2e, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps_e2e / BASELINE_FPS, 3),
-    }))
+    emit("e2e_fps_512", fps_e2e)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # pragma: no cover - defensive
+        # any setup/compile failure still yields a parseable line + rc=0
+        log(f"bench failed ({type(e).__name__}: {e})")
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        if _LAST_METRIC.get("value", 0.0) == 0.0:
+            _LAST_METRIC.setdefault(
+                "skipped_reason", f"bench error: {type(e).__name__}: {e}")
+        print(json.dumps(_LAST_METRIC), flush=True)
+        sys.exit(0)
