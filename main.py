@@ -336,6 +336,11 @@ def main(argv=None):
 
         tictoc.report()
     print("done")
+    # summary for callers (tests / dryrun assert on topology + state);
+    # CLI invocation ignores it
+    return {"keyframes": keyframes, "graph": graph, "topo": topo,
+            "frames_processed": i, "quality": quality,
+            "tsdf_manager": tsdf_manager, "refiner": refiner}
 
 
 if __name__ == "__main__":

@@ -97,9 +97,39 @@ def _dpt(sd, pre):
     return p
 
 
-def convert_state_dict(sd, enc_depth=24, dec_depth=12):
-    """Torch state-dict (mapping name → array-like) → parameter pytree (numpy)."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+# checkpoint keys that are REAL in the released model but carry no inference
+# weight: ``mask_token`` is croco's masked-pretraining token (only used when
+# decoding with masks, croco/models/croco.py:182 — SLAM inference never
+# masks), and ``scratch.layer_rn.{i}`` are duplicate registrations of the
+# same modules as ``scratch.layer{i+1}_rn`` (dust3r/croco/models/
+# dpt_block.py:70-74 aliases them in an nn.ModuleList)
+_KNOWN_UNUSED = ("mask_token", ".dpt.scratch.layer_rn.")
+
+
+class _TrackingDict(dict):
+    """Records key reads so conversion can report silently-dropped weights."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.read = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return dict.__getitem__(self, k)
+
+    def __contains__(self, k):
+        self.read.add(k)  # membership probes (optional biases) count
+        return dict.__contains__(self, k)
+
+
+def convert_state_dict(sd, enc_depth=24, dec_depth=12, unused_out=None):
+    """Torch state-dict (mapping name → array-like) → parameter pytree (numpy).
+
+    ``unused_out``: optional list; receives the checkpoint keys the
+    conversion never consumed (beyond the known-unused inference-irrelevant
+    ones) — a non-empty result means weights would be silently dropped.
+    """
+    sd = _TrackingDict({k: np.asarray(v) for k, v in sd.items()})
     # The checkpoint may lack dec_blocks2 (shared weights) — duplicate dec_blocks.
     if not any(k.startswith("dec_blocks2") for k in sd):
         for k in list(sd):
@@ -122,6 +152,10 @@ def convert_state_dict(sd, enc_depth=24, dec_depth=12):
                 "fc2": _lin(sd, f"downstream_head{n}.head_local_features.fc2"),
             },
         }
+    if unused_out is not None:
+        unused_out.extend(sorted(
+            k for k in set(sd) - sd.read
+            if not any(pat in k for pat in _KNOWN_UNUSED)))
     return params
 
 

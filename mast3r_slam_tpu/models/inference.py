@@ -282,6 +282,7 @@ class MASt3RInference:
             refine_mode=matching.resolve_refine_mode(c),
             plateau_frac=float(c.get("plateau_frac", 0.001)),
             level_step=int(c.get("level_step", 1)),
+            proj_step=int(c.get("proj_step", 1)),
         )
 
 

@@ -359,11 +359,11 @@ def prep_for_iter_proj(X11, X21, idx_1_to_2_init):
 
 @partial(jax.jit, static_argnames=("max_iter", "radius", "dilation_max",
                                    "refine_mode", "plateau_frac",
-                                   "level_step"))
+                                   "level_step", "proj_step"))
 def match(X11, X21, D11, D21, idx_1_to_2_init=None, *, max_iter=10,
           lambda_init=1e-8, convergence_thresh=1e-6, dist_thresh=0.1,
           radius=3, dilation_max=5, refine_mode="plus",
-          plateau_frac=0.001, level_step=1):
+          plateau_frac=0.001, level_step=1, proj_step=1):
     """Full matching pipeline: LM projection + occlusion gate + refinement.
 
     Returns ``(idx_1_to_2 (B, N) int32, valid (B, N, 1) bool)`` where N = H*W:
@@ -377,13 +377,44 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, *, max_iter=10,
     giant materialized gather; with the barrier in place the fused program
     saves the ~20 ms/program dispatch switches of stage-by-stage dispatch
     (backend ``match_symmetric`` B=2 measured 157 -> ~110 ms).
+
+    ``proj_step > 1`` runs the LM projection on a ``proj_step``-strided query
+    grid and bilinearly upsamples the CORRECTION field ``p - p_init`` back to
+    full resolution (the correction is smooth wherever the scene is; the
+    per-query structure lives in ``p_init``). The full-resolution descriptor
+    refinement re-centers each pixel and the occlusion gate re-validates
+    every pixel at full resolution, so interpolation errors at surface
+    boundaries are caught the same way iter-proj divergence is. The LM
+    gather volume — the hottest row-rate-bound cost of the tracking step —
+    drops by ``proj_step²``. ``proj_step=1`` is the strict reference
+    schedule (eval configs pin it); deviation priced on the oracle ATE
+    harness (scripts/matcher_cut_sweep.py).
     """
     b, h, w, _ = X21.shape
     rays9, pts_norm, p_init = prep_for_iter_proj(X11, X21, idx_1_to_2_init)
-    p1, converged = iter_proj(
-        rays9, pts_norm, p_init, max_iter, lambda_init, convergence_thresh,
-        plateau_frac,
-    )
+    s = proj_step if (proj_step > 1 and h % proj_step == 0
+                      and w % proj_step == 0) else 1
+    if s > 1:
+        hc, wc = h // s, w // s
+        sel = ((jnp.arange(hc) * s)[:, None] * w
+               + (jnp.arange(wc) * s)[None, :]).reshape(-1)
+        p_c, conv_c = iter_proj(
+            rays9, pts_norm[:, sel], p_init[:, sel], max_iter, lambda_init,
+            convergence_thresh, plateau_frac,
+        )
+        delta = (p_c - p_init[:, sel]).reshape(b, hc, wc, 2)
+        delta_full = jax.image.resize(delta, (b, h, w, 2), method="linear")
+        p1 = p_init + delta_full.reshape(b, h * w, 2)
+        p1 = jnp.stack([jnp.clip(p1[..., 0], 1.0, w - 2.0),
+                        jnp.clip(p1[..., 1], 1.0, h - 2.0)], axis=-1)
+        conv_full = jnp.repeat(jnp.repeat(conv_c.reshape(b, hc, wc), s, 1),
+                               s, 2)
+        converged = conv_full.reshape(b, h * w)
+    else:
+        p1, converged = iter_proj(
+            rays9, pts_norm, p_init, max_iter, lambda_init,
+            convergence_thresh, plateau_frac,
+        )
     p1 = jnp.floor(p1).astype(jnp.int32)
 
     valid = _occlusion_gate(X11, X21, p1, converged, dist_thresh)

@@ -775,6 +775,11 @@ class FactorGraph:
         # None keeps them wherever the solve left them.
         self.mesh = mesh
         self.home_device = home_device
+        # which solve placement ran (observability + multichip tests):
+        # "sharded" = edge bucket divisible by the mesh → shard_map solve;
+        # "fallback_single_device" = non-divisible early bucket → first
+        # backend chip (see _two_way_padded)
+        self.solve_stats = {"sharded": 0, "fallback_single_device": 0}
         n_pix = keyframes.h * keyframes.w
         self.n_pix = n_pix
         # Host-side dynamic edge lists; device arrays built at solve time.
@@ -1151,7 +1156,9 @@ class FactorGraph:
                     tuple(S.shard_leading(ch, self.mesh) for ch in meas),
                 )
                 solve_mesh = self.mesh
+                self.solve_stats["sharded"] += 1
             else:
+                self.solve_stats["fallback_single_device"] += 1
                 # bucket not divisible by the mesh (e.g. few edges early in
                 # a session on a large slice): fall back to a single-device
                 # solve on the first backend chip. The meas channels were

@@ -74,17 +74,30 @@ def select_local_features(feat, head_params, nfeat, residual=False):
     return sel / jnp.clip(jnp.linalg.norm(sel, axis=-1, keepdims=True), 1e-8)
 
 
-@jax.jit
-def aggregate_binarize(desc, codebook):
+@partial(jax.jit, static_argnames=("ma",))
+def aggregate_binarize(desc, codebook, ma=1):
     """Quantize + per-word aggregate + binarize (the ASMK signature builder).
 
-    ``desc (M, D)`` L2-normalized; ``codebook (K, D)``. Returns
-    ``(agg_sign (K, D) ±1 float, word_mask (K,) bool)`` where ``agg_sign`` row
-    w is the sign of the summed residuals of descriptors assigned to word w.
+    ``desc (M, D)`` L2-normalized; ``codebook (K, D)``. ``ma`` is the
+    multiple-assignment count: each descriptor is assigned to its ``ma``
+    nearest words and contributes the residual ``desc - centroid[w]`` to each
+    (the reference queries with ``multiple_assignment: 5`` and builds the IVF
+    with 1 — thirdparty/mast3r/mast3r/retrieval/processor.py:91-96,
+    asmk/kernel.py:26-38). The reference assigns by L2 distance
+    (retrieval_database.py:96-105) and its pretrained centroids are NOT
+    L2-normalized, so plain dot-product top-k would mis-rank; with
+    ``‖desc‖=1`` the exact L2 ranking is ``argmax(d·c − ‖c‖²/2)`` — still one
+    (M, D) x (D, K) matmul on the MXU + ``lax.top_k``. Returns ``(agg_sign
+    (K, D) ±1 float, word_mask (K,) bool)`` where ``agg_sign`` row w is the
+    sign of the summed residuals of descriptors assigned to word w.
     """
-    scores = desc @ codebook.T                      # (M, K) on the MXU
-    words = jnp.argmax(scores, axis=-1)             # (M,)
-    resid = desc - codebook[words]                  # ASMK residual aggregation
+    scores = desc @ codebook.T - 0.5 * jnp.sum(codebook**2, axis=-1)[None]
+    if ma == 1:
+        words = jnp.argmax(scores, axis=-1)         # (M,)
+    else:
+        _, words = lax.top_k(scores, ma)            # (M, ma)
+        words = words.reshape(-1)
+    resid = jnp.repeat(desc, ma, axis=0) - codebook[words]
     K = codebook.shape[0]
     agg = jnp.zeros_like(codebook).at[words].add(resid)
     counts = jnp.zeros((K,), jnp.int32).at[words].add(1)
@@ -123,13 +136,19 @@ class RetrievalDatabase:
     """
 
     def __init__(self, cfg, codebook_size=1024, nfeat=256, desc_dim=1024,
-                 alpha=3.0, similarity_thresh=0.0, head_params=None):
+                 alpha=3.0, similarity_thresh=0.0, head_params=None,
+                 ma_query=5, ma_build=1):
         self.cfg = cfg
         self.K = codebook_size
         self.nfeat = nfeat
         self.desc_dim = desc_dim
         self.alpha = alpha
         self.similarity_thresh = similarity_thresh
+        # multiple-assignment counts: the reference quantizes each QUERY
+        # descriptor to its 5 nearest words but builds the IVF with 1
+        # (thirdparty/mast3r/mast3r/retrieval/processor.py:91-96)
+        self.ma_query = int(ma_query)
+        self.ma_build = int(ma_build)
         # residual is a STRUCTURAL property (selects the compute graph), so
         # it rides as a static jit arg, not a traced pytree leaf
         self.head_residual = False
@@ -199,16 +218,20 @@ class RetrievalDatabase:
 
     # -- signature construction ---------------------------------------------
 
-    def _signature_from_desc(self, desc):
-        agg_sign, mask = aggregate_binarize(jnp.asarray(desc), self.codebook)
+    def _signature_from_desc(self, desc, ma=1):
+        agg_sign, mask = aggregate_binarize(jnp.asarray(desc), self.codebook,
+                                            ma=ma)
         mask_np = np.asarray(mask)
         words = np.where(mask_np)[0]
         packed = _pack_bits(np.asarray(agg_sign)[words])
         return words, packed
 
     def _signature(self, feat):
-        """keyframe encoder tokens (1, N, D) →
-        (words (Wn,), packed (Wn, D/8), desc (nfeat, D))."""
+        """keyframe encoder tokens (1, N, D) → ((build_words, build_packed,
+        query_words, query_packed), desc (nfeat, D)).
+
+        Build and query signatures differ by multiple-assignment count, as
+        in the reference (build_ivf MA=1, query_ivf MA=5)."""
         desc = select_local_features(feat[0], self.head_params, self.nfeat,
                                      self.head_residual)
         desc_np = np.asarray(desc)
@@ -216,8 +239,12 @@ class RetrievalDatabase:
         if self.codebook is None:
             # Still bootstrapping; caller keeps the raw descriptors so the
             # keyframe can be indexed retroactively once the codebook exists.
-            return np.zeros((0,), np.int64), np.zeros((0, 1), np.uint8), desc_np
-        return (*self._signature_from_desc(desc_np), desc_np)
+            empty = (np.zeros((0,), np.int64), np.zeros((0, 1), np.uint8))
+            return (*empty, *empty), desc_np
+        sig_b = self._signature_from_desc(desc_np, self.ma_build)
+        sig_q = (sig_b if self.ma_query == self.ma_build
+                 else self._signature_from_desc(desc_np, self.ma_query))
+        return (*sig_b, *sig_q), desc_np
 
     def _insert(self, words, packed, kf_idx: int):
         internal = self.kf_counter
@@ -235,7 +262,7 @@ class RetrievalDatabase:
         if self.codebook is None or not self._pending:
             return
         for kf_idx, desc_np in self._pending:
-            words, packed = self._signature_from_desc(desc_np)
+            words, packed = self._signature_from_desc(desc_np, self.ma_build)
             self._insert(words, packed, kf_idx)
         self._pending = []
 
@@ -244,7 +271,11 @@ class RetrievalDatabase:
     def _score(self, words: np.ndarray, packed: np.ndarray) -> np.ndarray:
         """Selective hamming-kernel ASMK score against all stored keyframes."""
         scores = np.zeros(self.kf_counter, np.float64)
-        nbits = self.desc_dim
+        # reference normalizes hamming distance by the PADDED bit count
+        # (uint32-packed, asmk/cython/hamming.pyx c_hamming_dist_uint32_arr:
+        # normalization = n_words*32); pad bits are 0 on both sides so they
+        # never contribute distance, only scale
+        nbits = 32 * ((self.desc_dim + 31) // 32)
         for w, sig in zip(words, packed):
             ids = self.ivf_ids[w]
             if not ids:
@@ -273,15 +304,16 @@ class RetrievalDatabase:
         """
         key = (getattr(frame, "frame_id", None), id(frame.feat))
         if self._sig_cache is not None and self._sig_cache[0] == key:
-            words, packed, desc_np = self._sig_cache[1]
+            sigs, desc_np = self._sig_cache[1]
         else:
-            words, packed, desc_np = self._signature(frame.feat)
-            self._sig_cache = (key, (words, packed, desc_np))
+            sigs, desc_np = self._signature(frame.feat)
+            self._sig_cache = (key, (sigs, desc_np))
+        words_b, packed_b, words_q, packed_q = sigs
         self._flush_pending()
 
         top: list[int] = []
-        if not skip_query and self.kf_counter > 0 and len(words) > 0:
-            scores = self._score(words, packed)
+        if not skip_query and self.kf_counter > 0 and len(words_q) > 0:
+            scores = self._score(words_q, packed_q)
             order = np.argsort(-scores)[:k]
             top = [self.id_to_kf[int(i)] for i in order
                    if scores[i] > min_thresh]
@@ -293,5 +325,5 @@ class RetrievalDatabase:
                      if kf_idx is None else int(kf_idx), desc_np)
                 )
             else:
-                self._insert(words, packed, kf_idx)
+                self._insert(words_b, packed_b, kf_idx)
         return top

@@ -262,7 +262,7 @@ def make_scfg(tracking_cfg: dict, matching_cfg: dict) -> tuple:
         float(m.get("dist_thresh", 0.1)), int(m.get("radius", 3)),
         int(m.get("dilation_max", 5)),
         matching.resolve_refine_mode(m), float(m.get("plateau_frac", 0.001)),
-        int(m.get("level_step", 1)),
+        int(m.get("level_step", 1)), int(m.get("proj_step", 1)),
         str(c["filtering_mode"]), str(c.get("filtering_score", "median")),
     )
 
@@ -290,7 +290,7 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
      rel_error, delta_norm, C_conf, Q_conf, pixel_border, depth_eps,
      match_max_iter, match_lambda, match_conv, match_dist, match_radius,
      match_dilation, match_refine_mode, match_plateau, match_level_step,
-     filtering_mode, filtering_score) = scfg
+     match_proj_step, filtering_mode, filtering_score) = scfg
     H, W = img_hw
     n = H * W
 
@@ -323,7 +323,7 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
         convergence_thresh=match_conv, dist_thresh=match_dist,
         radius=match_radius, dilation_max=match_dilation,
         refine_mode=match_refine_mode, plateau_frac=match_plateau,
-        level_step=match_level_step,
+        level_step=match_level_step, proj_step=match_proj_step,
     )
     idx0 = idx_f2k[0]
     vmatch = valid_match[0]                                   # (n, 1)

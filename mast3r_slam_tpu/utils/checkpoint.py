@@ -6,6 +6,29 @@ keyframe ring (poses, pointmaps, confidences, features), the factor-graph
 edge store, and the frame counter serialize to one compressed ``.npz`` so a
 run can be snapshotted mid-sequence and resumed (``main.py --checkpoint`` /
 ``--resume``), or a finished map can be reloaded for re-export/inspection.
+
+What is deliberately NOT restored on resume, and why that is safe:
+
+- **Quality-service EWMA coverage state** (quality_async per-kf ``cov_ewma``)
+  — an advisory smoothing signal for TSDF scheduling priorities. On resume
+  it re-seeds from the first new observation of each keyframe (EWMA
+  ``alpha=0.8`` forgets history in ~3 updates anyway); worst case a few
+  blocks get refined slightly earlier/later than they would have.
+- **Local-TSDF refine registry** (block state machine, retry/backoff
+  counters) — pure scheduling memory. Cleared state means blocks become
+  eligible for (idempotent) re-refinement; fused geometry already written
+  into keyframe pointmaps IS in the snapshot.
+- **Global-TSDF volume** — derived data: it is rebuilt by re-integrating the
+  restored keyframes (the integrator walks the keyframe ring on startup),
+  at the cost of one re-integration sweep, so persisting the voxel hash
+  would only trade startup time for snapshot size (~100s of MB).
+- **Retrieval inverted file** — rebuilt by re-indexing restored keyframes'
+  features on resume (main.py re-runs ``retrieval.update`` per restored
+  keyframe), which reproduces the IVF exactly up to codebook bootstrap
+  sampling.
+
+Everything that cannot be re-derived (poses, pointmaps, fused confidences,
+encoder features, edge topology, frame counter) IS snapshotted.
 """
 
 from __future__ import annotations

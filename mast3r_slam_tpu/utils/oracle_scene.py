@@ -246,7 +246,17 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
         refine_mode=mode.get("refine_mode", "plus"),
         level_step=int(mode.get("level_step", 2)),
         plateau_frac=float(mode.get("plateau_frac", 0.001)),
+        proj_step=int(mode.get("proj_step", 1)),
     )
+    # tracker-only overrides (``track_*`` keys): frame-to-keyframe matching
+    # is warm-started from the previous frame's converged correspondence, so
+    # it can tolerate a shallower refine ladder than the cold-start backend
+    # edges — price that separately before making it a production default
+    track_kw = dict(match_kw)
+    for k_ in ("radius", "dilation_max", "max_iter", "level_step",
+               "proj_step"):
+        if f"track_{k_}" in mode:
+            track_kw[k_] = int(mode[f"track_{k_}"])
 
     Kj = jnp.asarray(K, jnp.float32)
 
@@ -255,7 +265,7 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
         idx, valid = matching.match(
             Xff.reshape(1, H, W, 3), Xkf_in_f.reshape(1, H, W, 3),
             Dff.reshape(1, H, W, -1), Dkf.reshape(1, H, W, -1),
-            idx_1_to_2_init=idx_init[None], **match_kw)
+            idx_1_to_2_init=idx_init[None], **track_kw)
         idx0 = idx[0]
         Qk = jnp.full((n, 1), 2.0)
         vm = valid[0].astype(jnp.float32)

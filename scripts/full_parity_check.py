@@ -40,28 +40,83 @@ H, W = 384, 512
 
 
 def main():
+    global H, W
+    import argparse
+
     from mast3r.model import AsymmetricMASt3R
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="",
+                    help="real .pth checkpoint: load via the reference's "
+                    "from_pretrained (exercises ckpt-args eval + "
+                    "landscape_only=False wrapper, mast3r/model.py:21-37) "
+                    "instead of random-init")
+    ap.add_argument("--save-npz", default="",
+                    help="also save the converted params as .npz")
+    args = ap.parse_args()
 
     inf = float("inf")
     torch.manual_seed(0)
     t0 = time.time()
-    net = AsymmetricMASt3R(
-        output_mode="pts3d+desc24", head_type="catmlp+dpt",
-        depth_mode=("exp", -inf, inf), conf_mode=("exp", 1, inf),
-        desc_conf_mode=("exp", 0, inf), two_confs=True,
-        landscape_only=False, patch_embed_cls="PatchEmbedDust3R",
-        img_size=(H, W), patch_size=16,
-        enc_embed_dim=1024, enc_depth=24, enc_num_heads=16,
-        dec_embed_dim=768, dec_depth=12, dec_num_heads=12,
-        mlp_ratio=4, pos_embed="RoPE100",
-    ).eval()
+    if args.ckpt:
+        # the REAL loading path, quirks included (reference
+        # mast3r_utils.py:14-21 → model.py load_model: eval of
+        # ckpt['args'].model with landscape_only forced False). torch>=2.6
+        # defaults torch.load to weights_only=True, which rejects the
+        # checkpoint's args namespace — allow-list it (the reference loader
+        # itself predates that default).
+        import argparse as _ns
+        import types as _types
+
+        torch.serialization.add_safe_globals(
+            [_ns.Namespace, _types.SimpleNamespace])
+        net = AsymmetricMASt3R.from_pretrained(args.ckpt).eval()
+        print(f"[{time.time()-t0:6.1f}s] checkpoint loaded: {args.ckpt}")
+    else:
+        net = AsymmetricMASt3R(
+            output_mode="pts3d+desc24", head_type="catmlp+dpt",
+            depth_mode=("exp", -inf, inf), conf_mode=("exp", 1, inf),
+            desc_conf_mode=("exp", 0, inf), two_confs=True,
+            landscape_only=False, patch_embed_cls="PatchEmbedDust3R",
+            img_size=(H, W), patch_size=16,
+            enc_embed_dim=1024, enc_depth=24, enc_num_heads=16,
+            dec_embed_dim=768, dec_depth=12, dec_num_heads=12,
+            mlp_ratio=4, pos_embed="RoPE100",
+        ).eval()
     print(f"[{time.time()-t0:6.1f}s] reference net built "
           f"({sum(p.numel() for p in net.parameters())/1e6:.0f}M params)")
 
+    # derive OUR config from the instantiated net (so --ckpt works at any
+    # size, incl. tiny smoke-test checkpoints — tests/test_validate_real.py)
+    enc_depth, dec_depth = len(net.enc_blocks), len(net.dec_blocks)
+    cfg = M.MASt3RConfig(
+        enc_embed_dim=net.enc_blocks[0].attn.qkv.in_features,
+        enc_depth=enc_depth,
+        enc_num_heads=net.enc_blocks[0].attn.num_heads,
+        dec_embed_dim=net.dec_blocks[0].attn.qkv.in_features,
+        dec_depth=dec_depth,
+        dec_num_heads=net.dec_blocks[0].attn.num_heads,
+        desc_dim=int(net.output_mode.split("desc")[-1]),
+        dtype="float32",
+    )
+    img_size = getattr(net.patch_embed, "img_size", (H, W))
+    H, W = int(img_size[0]), int(img_size[1])
+
     sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
-    params = convert_state_dict(sd, enc_depth=24, dec_depth=12)
-    cfg = M.MASt3RConfig(dtype="float32")
-    print(f"[{time.time()-t0:6.1f}s] converted")
+    unused = []
+    params = convert_state_dict(sd, enc_depth=enc_depth, dec_depth=dec_depth,
+                                unused_out=unused)
+    if unused:
+        print(f"WARNING: {len(unused)} checkpoint keys not consumed "
+              f"(weights would be dropped): {unused[:10]}...")
+    print(f"[{time.time()-t0:6.1f}s] converted"
+          + (" (all inference keys consumed)" if not unused else ""))
+    if args.save_npz:
+        from mast3r_slam_tpu.models.convert import save_params_npz
+
+        save_params_npz(params, args.save_npz)
+        print(f"[{time.time()-t0:6.1f}s] saved converted params → "
+              f"{args.save_npz}")
 
     rng = np.random.default_rng(7)
     img1 = rng.uniform(-1.0, 1.0, size=(1, H, W, 3)).astype(np.float32)

@@ -41,6 +41,22 @@ SWEEP = {
     "LM 6 iters (fewer iter_proj passes)": dict(max_iter=6),
     "radius 2 + step 4 + LM 6 (max cut)": dict(radius=2, level_step=4,
                                                max_iter=6),
+    # tracker-only ladder cuts (warm-started matching; backend edges keep
+    # the full r2/d5/step2 ladder) — the refine gather is the hottest
+    # frontend row volume (docs/PERFORMANCE.md breakdown)
+    "TRACK d_max 3 (r2; 2 lvls, 18 rows/px -54%)": dict(
+        radius=2, track_dilation_max=3),
+    "TRACK d_max 1 (r2; 1 lvl, 9 rows/px -77%)": dict(
+        radius=2, track_dilation_max=1),
+    "TRACK d_max 1 + LM 6 (max tracker cut)": dict(
+        radius=2, track_dilation_max=1, track_max_iter=6),
+    # decimated LM projection (coarse query grid + correction-field
+    # upsample): cuts the hottest row-rate-bound gather volume proj_step²x
+    "proj_step 2 (LM on 1/4 queries)": dict(radius=2, proj_step=2),
+    "TRACK proj_step 2 (backend full-res)": dict(
+        radius=2, track_proj_step=2),
+    "TRACK proj_step 2 + d_max 3": dict(
+        radius=2, track_proj_step=2, track_dilation_max=3),
 }
 
 

@@ -83,8 +83,10 @@ def main():
         Xkf = X_shift + 1e-4 * jnp.tanh(res_kf["pts3d"])
         Dff = _norm(D_scene + 0.05 * res_ff["desc"])
         Dkf = _norm(D_shift + 0.05 * res_kf["desc"])
-        idx_f2k, valid = matching.match(Xff, Xkf, Dff, Dkf, radius=2,
-                                        level_step=2)
+        idx_f2k, valid = matching.match(
+            Xff, Xkf, Dff, Dkf, radius=2, level_step=2,
+            proj_step=int(os.environ.get("MAST3R_TPU_PROJ_STEP", "1")),
+            dilation_max=int(os.environ.get("MAST3R_TPU_DMAX", "5")))
         if mode == "match":
             return (idx_f2k, valid)
         idx0 = idx_f2k[0]
@@ -146,6 +148,15 @@ def main():
     print(f"[{mode}] median {med * 1e3:.2f} ms over {reps} reps "
           f"(p10 {times[len(times) // 10] * 1e3:.2f}, "
           f"p90 {times[(9 * len(times)) // 10] * 1e3:.2f})", flush=True)
+
+    trace_dir = os.environ.get("MAST3R_TPU_TRACE", "")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+        for r in range(reps + 1, reps + 4):
+            out = run(r)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        print(f"[{mode}] trace (3 reps) → {trace_dir}", flush=True)
 
 
 if __name__ == "__main__":
