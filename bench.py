@@ -213,8 +213,11 @@ def main():
         Xkf = X_shift + 1e-4 * jnp.tanh(res_kf["pts3d"])
         Dff = _norm(D_scene + 0.05 * res_ff["desc"])
         Dkf = _norm(D_shift + 0.05 * res_kf["desc"])
-        idx_f2k, valid = matching.match(Xff, Xkf, Dff, Dkf,
-                                        radius=2, level_step=2)  # production defaults (config/base.yaml)
+        idx_f2k, valid = matching.match(
+            Xff, Xkf, Dff, Dkf, radius=2, level_step=2, proj_step=2,
+            dilation_max=1)  # production tracker defaults (config/base.yaml
+        #                      matching.*: proj_step 2 + track_dilation_max 1,
+        #                      oracle-ATE-priced 0.84x in round 4)
         idx0 = idx_f2k[0]
         vmatch = valid[0]
         Xk = Xkf.reshape(n_pix, 3)
@@ -441,7 +444,9 @@ def _e2e_section(env):
         Db2 = _norm(D_shift + 0.05 * rb2["desc"])
         return matching.match(Xb1, Xb2, Db1, Db2,
                               idx_1_to_2_init=idx_warm[None], radius=2,
-                              level_step=2)
+                              level_step=2, proj_step=2)  # backend edges
+        #                       keep the full dilation ladder (config
+        #                       matching.dilation_max)
 
     @jax.jit
     def premeas_event(X_kfs, Cavg, Q2, idx_new, valid_new, idx_reused):

@@ -82,13 +82,31 @@ def mlp(p, x):
 
 
 def conv2d(p, x, stride=1, padding="SAME"):
-    """NHWC conv with HWIO weights."""
+    """NHWC conv with HWIO weights.
+
+    Stride-1 1x1 convs lower to a plain (H·W, Cin) x (Cin, Cout) matmul
+    (bit-identical; avoids lax.conv's layout choice). 3x3 convs stay on
+    ``lax.conv``: a shifted-matmul lowering is 4x faster ISOLATED but
+    in-program the pad + 9 slice materializations cost more than the conv's
+    layout inefficiency saves (model-stage device time 19.1 → 25.7 ms when
+    tried — measured round 4, docs/PERFORMANCE.md).
+    """
     if isinstance(stride, int):
         stride = (stride, stride)
-    dn = lax.conv_dimension_numbers(x.shape, p["w"].shape, ("NHWC", "HWIO", "NHWC"))
-    y = lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), stride, padding, dimension_numbers=dn
-    )
+    kh, kw, cin, cout = p["w"].shape
+    if stride == (1, 1) and (kh, kw) == (1, 1):
+        b, h, w, _ = x.shape
+        acc = lax.dot_general(
+            x.reshape(b, h * w, cin), p["w"].astype(x.dtype)[0, 0],
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = acc.astype(x.dtype).reshape(b, h, w, cout)
+    else:
+        dn = lax.conv_dimension_numbers(x.shape, p["w"].shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            x, p["w"].astype(x.dtype), stride, padding, dimension_numbers=dn
+        )
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -125,26 +143,42 @@ def conv2d_transpose(p, x, stride):
     return y
 
 
+def _interp_matrix(n_in, n_out, align_corners):
+    """(n_out, n_in) row-stochastic linear-interpolation matrix (≤2 nonzeros
+    per row) — bilinear resize as two MXU contractions instead of four
+    full-tensor gathers (the gather form measured 2.6 ms/frame in the DPT
+    head; the matmul form is FLOP-trivial and reads the input once)."""
+    import numpy as np
+
+    if align_corners and n_out > 1 and n_in > 1:
+        pos = np.linspace(0.0, n_in - 1.0, n_out)
+    else:
+        pos = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    w1 = np.clip(pos - i0, 0.0, 1.0).astype(np.float32)
+    M = np.zeros((n_out, n_in), np.float32)
+    np.add.at(M, (np.arange(n_out), i0), 1.0 - w1)
+    np.add.at(M, (np.arange(n_out), i1), w1)
+    return M
+
+
 def interpolate_bilinear(x, out_hw, align_corners=True):
-    """Bilinear resize of NHWC ``x`` to ``out_hw`` (torch align_corners=True)."""
+    """Bilinear resize of NHWC ``x`` to ``out_hw`` (torch align_corners=True).
+
+    Expressed as two separable interpolation matmuls (H then W): the same
+    two-tap linear combination per output sample as torch's kernel, with
+    f32 accumulation on the MXU.
+    """
     n, h, w, c = x.shape
     oh, ow = out_hw
-    if align_corners and oh > 1 and ow > 1:
-        ys = jnp.linspace(0.0, h - 1.0, oh)
-        xs = jnp.linspace(0.0, w - 1.0, ow)
-    else:
-        ys = (jnp.arange(oh) + 0.5) * (h / oh) - 0.5
-        xs = (jnp.arange(ow) + 0.5) * (w / ow) - 0.5
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = jnp.clip(ys - y0, 0.0, 1.0).astype(x.dtype)
-    wx = jnp.clip(xs - x0, 0.0, 1.0).astype(x.dtype)
-
-    top = x[:, y0][:, :, x0] * (1 - wx[None, None, :, None]) + x[:, y0][:, :, x1] * wx[None, None, :, None]
-    bot = x[:, y1][:, :, x0] * (1 - wx[None, None, :, None]) + x[:, y1][:, :, x1] * wx[None, None, :, None]
-    return top * (1 - wy[None, :, None, None]) + bot * wy[None, :, None, None]
+    My = jnp.asarray(_interp_matrix(h, oh, align_corners), x.dtype)
+    Mx = jnp.asarray(_interp_matrix(w, ow, align_corners), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", My, x,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("pw,bowc->bopc", Mx, y.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
 
 
 def pixel_shuffle(x, r):

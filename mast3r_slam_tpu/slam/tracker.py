@@ -260,7 +260,11 @@ def make_scfg(tracking_cfg: dict, matching_cfg: dict) -> tuple:
         int(m.get("max_iter", 10)), float(m.get("lambda_init", 1e-8)),
         float(m.get("convergence_thresh", 1e-6)),
         float(m.get("dist_thresh", 0.1)), int(m.get("radius", 3)),
-        int(m.get("dilation_max", 5)),
+        # the tracker may use a SHALLOWER refine ladder than the cold-start
+        # backend edges (warm-started matching): matching.track_dilation_max
+        # overrides dilation_max for track_core only (priced on the oracle
+        # ATE harness, scripts/matcher_cut_sweep.py)
+        int(m.get("track_dilation_max", m.get("dilation_max", 5))),
         matching.resolve_refine_mode(m), float(m.get("plateau_frac", 0.001)),
         int(m.get("level_step", 1)), int(m.get("proj_step", 1)),
         str(c["filtering_mode"]), str(c.get("filtering_score", "median")),

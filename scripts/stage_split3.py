@@ -85,8 +85,8 @@ def main():
         Dkf = _norm(D_shift + 0.05 * res_kf["desc"])
         idx_f2k, valid = matching.match(
             Xff, Xkf, Dff, Dkf, radius=2, level_step=2,
-            proj_step=int(os.environ.get("MAST3R_TPU_PROJ_STEP", "1")),
-            dilation_max=int(os.environ.get("MAST3R_TPU_DMAX", "5")))
+            proj_step=int(os.environ.get("MAST3R_TPU_PROJ_STEP", "2")),
+            dilation_max=int(os.environ.get("MAST3R_TPU_DMAX", "1")))
         if mode == "match":
             return (idx_f2k, valid)
         idx0 = idx_f2k[0]

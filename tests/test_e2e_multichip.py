@@ -59,6 +59,11 @@ def tiny_config_file(tmp_path_factory):
                      "Q_conf": 0.0, "max_iters": 3},
         "local_opt": {"min_match_frac": 0.0, "Q_conf": 0.0, "max_iters": 2},
         "matching": {"max_iter": 2, "radius": 1, "dilation_max": 1},
+        # random-weight geometry can fail the Sim(3) solve (→ RELOC); give
+        # reloc a recovery path (pre-seeded codebook via --retrieval-codebook
+        # below + lenient thresholds) so the run also covers reloc-under-mesh
+        "reloc": {"min_match_frac": 0.0, "strict": False},
+        "retrieval": {"k": 2, "min_thresh": 0.0},
         "tsdf_refine": {"enabled": True, "window_size": 1, "ray_samples": 8,
                         "max_grid_dim": 16},
         "tsdf_global": {"enabled": True, "samples_per_kf": 64,
@@ -75,12 +80,16 @@ def test_full_pipeline_on_8_device_mesh(synth_dataset, tiny_config_file,
     import main as cli
 
     monkeypatch.chdir(tmp_path)
+    cb_path = tmp_path / "codebook.npy"
+    np.save(cb_path, np.random.default_rng(1).normal(
+        size=(64, 64)).astype(np.float32))
     res = cli.main([
         "--dataset", str(synth_dataset),
         "--config", str(tiny_config_file),
         "--no-viz",
         "--save-as", "mc",
         "--max-frames", "10",
+        "--retrieval-codebook", str(cb_path),
     ])
 
     topo = res["topo"]
@@ -94,10 +103,29 @@ def test_full_pipeline_on_8_device_mesh(synth_dataset, tiny_config_file,
 
     kfs = res["keyframes"]
     assert len(kfs) >= 2
-    # early buckets (1-2 edges) are smaller than the 4-chip backend mesh →
-    # the single-device fallback must have run at least once
+    # a real mesh solve happened during the threaded run
     stats = res["graph"].solve_stats
-    assert stats["fallback_single_device"] >= 1, stats
+    assert stats["sharded"] + stats["fallback_single_device"] >= 1, stats
+    # deterministically exercise the NON-DIVISIBLE bucket single-device
+    # fallback: power-of-two buckets (min 8) always divide power-of-two
+    # meshes ≤ 8 chips, so it's the ≥16-chip-slice path — a deliberately odd
+    # 3-chip mesh reproduces the condition (8 % 3 != 0) on the virtual mesh
+    from jax.sharding import Mesh
+
+    from mast3r_slam_tpu.parallel.sharding import EDGE_AXIS
+    from mast3r_slam_tpu.slam.factor_graph import FactorGraph
+
+    from mast3r_slam_tpu.models.inference import MASt3RInference
+
+    mesh3 = Mesh(np.asarray(jax.devices()[1:4]), (EDGE_AXIS,))
+    m3 = MASt3RInference(res["graph"].model.params, res["graph"].model.cfg,
+                         res["graph"].model.match_cfg, mesh=mesh3)
+    g1 = FactorGraph(m3, kfs,
+                     {"local_opt": dict(res["graph"].cfg)},
+                     mesh=mesh3, home_device=topo.frontend_device)
+    assert g1.add_factors([0], [1], 0.0)
+    g1.solve_GN_rays()
+    assert g1.solve_stats["fallback_single_device"] >= 1, g1.solve_stats
 
     # quality service produced results ON its planned chip
     quality = res["quality"]

@@ -220,3 +220,41 @@ def test_refine_matches_dilation_max_zero_is_noop():
     p_ref = matching.refine_matches(D11, D21, jnp.asarray(p0)[None],
                                     radius=3, dilation_max=0)
     np.testing.assert_array_equal(np.asarray(p_ref[0]), p0)
+
+
+def test_proj_step_decimated_matches_full():
+    """proj_step=2 (LM on a strided query grid + correction-field upsample,
+    full-res refine + occlusion gate) agrees with the strict proj_step=1
+    schedule on a smooth field — and flags the same validity."""
+    h, w = 48, 64
+    X = synthetic_pointmap(h, w)
+    shift = 2
+    X21 = np.roll(X, -shift, axis=1)
+    rng = np.random.default_rng(5)
+    # smooth, informative descriptors so refine re-centers deterministically
+    u, v = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    D = np.stack([np.sin(u * k1 + 3 * k2) * np.cos(v * k2 + k1)
+                  for k1, k2 in rng.uniform(0.05, 0.4, (8, 2))], axis=-1)
+    D = (D / (np.linalg.norm(D, axis=-1, keepdims=True) + 1e-9)).astype(
+        np.float32)
+    D21 = np.roll(D, -shift, axis=1)
+
+    args = (jnp.asarray(X)[None], jnp.asarray(X21)[None],
+            jnp.asarray(D)[None], jnp.asarray(D21)[None])
+    idx1, val1 = matching.match(*args, radius=2, level_step=2, proj_step=1)
+    idx2, val2 = matching.match(*args, radius=2, level_step=2, proj_step=2)
+    gt = np.arange(h * w)
+    interior = (((gt % w) >= 2) & ((gt % w) <= w - 3 - shift)
+                & ((gt // w) >= 2) & ((gt // w) <= h - 3))
+    both = np.asarray(val1[0, :, 0]) & np.asarray(val2[0, :, 0]) & interior
+    assert both.mean() > 0.8
+    i1, i2 = np.asarray(idx1[0]), np.asarray(idx2[0])
+    agree = (i1 == i2)[both].mean()
+    assert agree > 0.9, f"proj_step=2 diverges from full-res LM: {agree}"
+    # near-agreement: almost all remaining disagreements are one-pixel
+    # (integer-floor boundary flips), which the oracle ATE study prices as
+    # neutral (0.96x) — anything further would be a real divergence
+    d = np.maximum(np.abs(i1 % w - i2 % w), np.abs(i1 // w - i2 // w))
+    assert (d[both] <= 1).mean() > 0.99, (d[both] > 1).mean()
+    # validity itself must not collapse
+    assert np.asarray(val2[0, :, 0])[interior].mean() > 0.9

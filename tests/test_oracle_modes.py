@@ -21,7 +21,12 @@ HW = (32, 48)
 N_FRAMES = 16
 
 STRICT = dict(refine_mode="joint", level_step=1, plateau_frac=0.0)
-FAST = dict(refine_mode="plus", level_step=2, plateau_frac=0.001)
+# FAST mirrors the FULL production deviation set (config/base.yaml
+# matching.*): plus-mode refine, level_step 2, plateau exit, radius 2,
+# decimated LM projection (proj_step 2), tracker-only single-level ladder.
+# Oracle study (scripts/matcher_cut_sweep.py, round 4): combo = 0.84x strict.
+FAST = dict(refine_mode="plus", level_step=2, plateau_frac=0.001,
+            radius=2, proj_step=2, track_dilation_max=1)
 
 
 def test_raycast_is_exact_and_consistent():
