@@ -386,9 +386,12 @@ def _e2e_section(env):
     # copy that must NOT be paid per solve.
     from mast3r_slam_tpu.ops import ba_kernels
 
+    PSTEP = 2  # production local_opt.pixel_step (config/base.yaml):
+    #            BA residual decimation, oracle-ATE-priced 1.01x
     meas = FG.precompute_meas_rays(X_kfs, Cavg, ii, jj, idx_e, valid_e, Q_e,
-                                   0.0, 1.5)
-    if ba_kernels.supports_pallas() and n_pix % (8 * ba_kernels._TNL) == 0:
+                                   0.0, 1.5, pixel_step=PSTEP)
+    if (ba_kernels.supports_pallas()
+            and (n_pix // PSTEP) % (8 * ba_kernels._TNL) == 0):
         meas = ba_kernels.view_sublane_split(meas)
     jax.block_until_ready(meas)
 
@@ -458,7 +461,8 @@ def _e2e_section(env):
         idx2 = jnp.stack([idx_new[0], idx_reused])
         return FG.precompute_meas_rays(
             X_kfs, Cavg, ii[:2], jj[:2], idx2,
-            jnp.tile(valid_new[:1], (2, 1, 1)), Q2, 0.0, 1.5)
+            jnp.tile(valid_new[:1], (2, 1, 1)), Q2, 0.0, 1.5,
+            pixel_step=PSTEP)
 
     @jax.jit
     def solve_event(meas, rj):

@@ -144,10 +144,17 @@ def attention(q, k, v):
 
     b, h, nq, _ = q.shape
     nk = k.shape[2]
-    if (FA.supports_pallas() and b * h >= 32
+    if (FA.supports_pallas() and b * h >= _flash_min_bh()
             and nq % 128 == 0 and nk % 128 == 0):
         return FA.flash_attention(q, k, v)
     return FA.attention_reference(q, k, v)
+
+
+def _flash_min_bh():
+    """Flash-attention crossover gate (b*h), env-overridable for A/Bs."""
+    import os
+
+    return int(os.environ.get("MAST3R_TPU_FLASH_MIN_BH", "32"))
 
 
 def self_attn(p, x, pos, n_heads, rope_base):

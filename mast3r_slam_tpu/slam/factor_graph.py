@@ -135,8 +135,22 @@ def _edge_system_fused(rho, d_res, Xp, c, adj_inv,
     return H, g, cost
 
 
+def _decimate_queries(idx_ii2jj, valid_match, Q, pixel_step):
+    """BA residual decimation: keep every ``pixel_step``-th QUERY pixel of
+    each edge. Reference BA uses every pixel (gn_kernels.cu loops all h*w);
+    the cut is semantic and priced on the oracle ATE harness before being a
+    default (scripts/matcher_cut_sweep.py). All downstream channel stacks
+    shrink by the same factor — premeas gather volume, the meas cache, and
+    per-GN-iteration read traffic all scale with it."""
+    if pixel_step > 1:
+        idx_ii2jj = idx_ii2jj[:, ::pixel_step]
+        valid_match = valid_match[:, ::pixel_step]
+        Q = Q[:, ::pixel_step]
+    return idx_ii2jj, valid_match, Q
+
+
 def _premeas_rays(X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
-                  C_thresh, Q_thresh):
+                  C_thresh, Q_thresh, pixel_step=1):
     """POSE-INVARIANT measured channels for the ray residual.
 
     Everything here depends only on the matches and the keyframe pointmaps,
@@ -149,12 +163,14 @@ def _premeas_rays(X, Cavg, ii, jj, idx_ii2jj, valid_match, Q,
     ``(E, N)``: unit measurement ray + its length, fully gated confidence,
     and the observer points the iteration transforms.
     """
+    idx_ii2jj, valid_match, Q = _decimate_queries(idx_ii2jj, valid_match, Q,
+                                                  pixel_step)
     e_idx = jnp.arange(ii.shape[0])[:, None]
     safe_idx = jnp.where(valid_match[..., 0], idx_ii2jj, 0)
     Xi = X[ii][e_idx, safe_idx]                   # (E, N, 3) scattered gather
     Ci = Cavg[ii][e_idx, safe_idx, 0]
-    Cj = Cavg[jj][..., 0]
-    Xj = X[jj]                                    # (E, N, 3) contiguous rows
+    Cj = Cavg[jj][:, ::pixel_step, 0]
+    Xj = X[jj][:, ::pixel_step]                   # (E, N, 3) contiguous rows
     di = jnp.linalg.norm(Xi, axis=-1)
     di_safe = jnp.maximum(di, 1e-12)
     q = Q[..., 0]
@@ -204,7 +220,7 @@ def _edge_terms_rays(T_WC, ii, jj, meas, sigma_ray, sigma_dist):
 
 
 def _premeas_calib(X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, W_img,
-                   z_eps, C_thresh, Q_thresh):
+                   z_eps, C_thresh, Q_thresh, pixel_step=1):
     """Pose-invariant measured channels for the calibrated residual:
     ``(ui, vi, logzi, conf, xj, yj, zj)``, each ``(E, N)``.
 
@@ -219,12 +235,14 @@ def _premeas_calib(X, Cavg, ii, jj, idx_ii2jj, valid_match, Q, W_img,
     the ray-constrained pointmap OR raw with identical z; only z is read for
     the measured side, and xj/yj/zj rows are emitted as stored).
     """
+    idx_ii2jj, valid_match, Q = _decimate_queries(idx_ii2jj, valid_match, Q,
+                                                  pixel_step)
     e_idx = jnp.arange(ii.shape[0])[:, None]
     safe_idx = jnp.where(valid_match[..., 0], idx_ii2jj, 0)
     Xi = X[ii][e_idx, safe_idx]
     Ci = Cavg[ii][e_idx, safe_idx, 0]
-    Cj = Cavg[jj][..., 0]
-    Xj = X[jj]
+    Cj = Cavg[jj][:, ::pixel_step, 0]
+    Xj = X[jj][:, ::pixel_step]
 
     zi = Xi[..., 2]
     valid_zi = zi > z_eps
@@ -361,25 +379,28 @@ def precompute_measured(premeas_fn, ii, jj, idx, valid, Q):
     return tuple(ch.reshape(E, -1) for ch in meas)
 
 
-@partial(jax.jit, static_argnames=("C_thresh", "Q_thresh"))
-def precompute_meas_rays(X, Cavg, ii, jj, idx, valid, Q, C_thresh, Q_thresh):
+@partial(jax.jit, static_argnames=("C_thresh", "Q_thresh", "pixel_step"))
+def precompute_meas_rays(X, Cavg, ii, jj, idx, valid, Q, C_thresh, Q_thresh,
+                         pixel_step=1):
     """Jitted full-edge-set ray premeas (tests / benches / graft entry)."""
     return precompute_measured(
         lambda ii_c, jj_c, idx_c, valid_c, Q_c: _premeas_rays(
             X, Cavg, ii_c, jj_c, idx_c, valid_c, Q_c, C_thresh, Q_thresh,
+            pixel_step,
         ),
         ii, jj, idx, valid, Q,
     )
 
 
-@partial(jax.jit, static_argnames=("W_img", "z_eps", "C_thresh", "Q_thresh"))
+@partial(jax.jit, static_argnames=("W_img", "z_eps", "C_thresh", "Q_thresh",
+                                   "pixel_step"))
 def precompute_meas_calib(X, Cavg, ii, jj, idx, valid, Q, W_img,
-                          z_eps, C_thresh, Q_thresh):
+                          z_eps, C_thresh, Q_thresh, pixel_step=1):
     """Jitted full-edge-set calib premeas (``X`` must be ray-constrained)."""
     return precompute_measured(
         lambda ii_c, jj_c, idx_c, valid_c, Q_c: _premeas_calib(
             X, Cavg, ii_c, jj_c, idx_c, valid_c, Q_c, W_img,
-            z_eps, C_thresh, Q_thresh,
+            z_eps, C_thresh, Q_thresh, pixel_step,
         ),
         ii, jj, idx, valid, Q,
     )
@@ -799,8 +820,13 @@ class FactorGraph:
         # at premeas time instead of per solve. Mesh-sharded solves keep the
         # split layout too: the shard axis is the leading edge dim, which the
         # relayout never touches.
+        # BA residual decimation (local_opt.pixel_step): every channel
+        # stack, the meas cache, and the per-iteration read volume shrink by
+        # this factor. 1 = reference semantics (every pixel).
+        self.pixel_step = int(self.cfg.get("pixel_step", 1))
+        n_ba = n_pix // self.pixel_step
         self._split_layout = (ba_kernels.supports_pallas()
-                              and n_pix % (8 * ba_kernels._TNL) == 0)
+                              and n_ba % (8 * ba_kernels._TNL) == 0)
         self._meas_kind: str | None = None
         self._meas_ij: tuple | None = None        # dir i->j (gather side ii)
         self._meas_ji: tuple | None = None        # dir j->i (gather side jj)
@@ -1014,11 +1040,13 @@ class FactorGraph:
         Q_thresh = float(self.cfg["Q_conf"])
         if kind == "rays":
             meas = precompute_meas_rays(X, Cavg, g_kf, r_kf, idx, valid, Q,
-                                        C_thresh, Q_thresh)
+                                        C_thresh, Q_thresh,
+                                        pixel_step=self.pixel_step)
         else:
             meas = precompute_meas_calib(
                 X, Cavg, g_kf, r_kf, idx, valid, Q, self.keyframes.w,
-                float(self.cfg["depth_eps"]), C_thresh, Q_thresh)
+                float(self.cfg["depth_eps"]), C_thresh, Q_thresh,
+                pixel_step=self.pixel_step)
         meas = tuple(ch[:len(rows)] for ch in meas)
         if self._split_layout:
             meas = ba_kernels.view_sublane_split(meas)

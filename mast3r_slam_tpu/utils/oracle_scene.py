@@ -430,7 +430,8 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
             lambda X: geometry.constrain_points_to_ray(hw, X, Kj))(X_all)
         meas = FG.precompute_meas_calib(
             X_all, Cavg, jnp.asarray(ii), jnp.asarray(jj),
-            jnp.asarray(idx_e), jnp.asarray(val_e), Q_e, W, 1e-6, 0.0, 1.5)
+            jnp.asarray(idx_e), jnp.asarray(val_e), Q_e, W, 1e-6, 0.0, 1.5,
+            pixel_step=int(mode.get("ba_pixel_step", 1)))
         T_out = FG.gauss_newton_calib(
             T_in, meas, Kj, jnp.asarray(ii), jnp.asarray(jj),
             jnp.asarray(mask_e), free, hw, -10, 1e-6, sigma_pixel,
@@ -438,7 +439,8 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
     else:
         meas = FG.precompute_meas_rays(
             X_all, Cavg, jnp.asarray(ii), jnp.asarray(jj),
-            jnp.asarray(idx_e), jnp.asarray(val_e), Q_e, 0.0, 1.5)
+            jnp.asarray(idx_e), jnp.asarray(val_e), Q_e, 0.0, 1.5,
+            pixel_step=int(mode.get("ba_pixel_step", 1)))
         T_out = FG.gauss_newton_rays(
             T_in, meas, jnp.asarray(ii), jnp.asarray(jj),
             jnp.asarray(mask_e), free, sigma_ray, sigma_dist, ba_iters, 1e-8)

@@ -211,3 +211,38 @@ def test_lm_stabilizes_single_edge_pose():
     err1 = float(jnp.linalg.norm(
         lie.log(lie.compose(lie.inv(T_out[2]), T_true[2]))))
     assert err1 < err0 * 0.7, (err0, err1)
+
+
+def test_premeas_pixel_step_slices_channels():
+    """pixel_step decimation: channels equal the full premeas sliced at the
+    same stride (the gather math is per-query-pixel independent)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.slam.factor_graph import (precompute_meas_calib,
+                                                   precompute_meas_rays)
+
+    rng = np.random.default_rng(3)
+    cap, E, N = 4, 2, 64
+    X = jnp.asarray(rng.normal(size=(cap, N, 3)).astype(np.float32)
+                    + [0, 0, 3.0])
+    C = jnp.asarray(rng.uniform(0.5, 1, (cap, N, 1)).astype(np.float32))
+    ii = jnp.asarray([0, 2], jnp.int32)
+    jj = jnp.asarray([1, 3], jnp.int32)
+    idx = jnp.asarray(rng.integers(0, N, (E, N)).astype(np.int32))
+    valid = jnp.asarray(rng.random((E, N, 1)) < 0.9)
+    Q = jnp.asarray(rng.uniform(1, 3, (E, N, 1)).astype(np.float32))
+
+    full = precompute_meas_rays(X, C, ii, jj, idx, valid, Q, 0.0, 0.5)
+    half = precompute_meas_rays(X, C, ii, jj, idx, valid, Q, 0.0, 0.5,
+                                pixel_step=2)
+    assert half[0].shape == (E, N // 2)
+    for f, h in zip(full, half):
+        np.testing.assert_array_equal(np.asarray(f)[:, ::2], np.asarray(h))
+
+    fullc = precompute_meas_calib(X, C, ii, jj, idx, valid, Q, 8, 1e-6,
+                                  0.0, 0.5)
+    halfc = precompute_meas_calib(X, C, ii, jj, idx, valid, Q, 8, 1e-6,
+                                  0.0, 0.5, pixel_step=2)
+    for f, h in zip(fullc, halfc):
+        np.testing.assert_array_equal(np.asarray(f)[:, ::2], np.asarray(h))
