@@ -388,10 +388,13 @@ def _e2e_section(env):
 
     PSTEP = 2  # production local_opt.pixel_step (config/base.yaml):
     #            BA residual decimation, oracle-ATE-priced 1.01x
+    MDT = jnp.bfloat16  # production local_opt.meas_dtype (oracle 1.02x)
     meas = FG.precompute_meas_rays(X_kfs, Cavg, ii, jj, idx_e, valid_e, Q_e,
                                    0.0, 1.5, pixel_step=PSTEP)
+    meas = tuple(ch.astype(MDT) for ch in meas)
     if (ba_kernels.supports_pallas()
-            and (n_pix // PSTEP) % (8 * ba_kernels._TNL) == 0):
+            and (n_pix // PSTEP) % (ba_kernels.sublane_count(MDT)
+                                    * ba_kernels._TNL) == 0):
         meas = ba_kernels.view_sublane_split(meas)
     jax.block_until_ready(meas)
 
@@ -459,10 +462,11 @@ def _e2e_section(env):
         # production's add_factors premeas. Big operands are ARGUMENTS (jit
         # closures capture them as constants).
         idx2 = jnp.stack([idx_new[0], idx_reused])
-        return FG.precompute_meas_rays(
+        m2 = FG.precompute_meas_rays(
             X_kfs, Cavg, ii[:2], jj[:2], idx2,
             jnp.tile(valid_new[:1], (2, 1, 1)), Q2, 0.0, 1.5,
             pixel_step=PSTEP)
+        return tuple(ch.astype(MDT) for ch in m2)
 
     @jax.jit
     def solve_event(meas, rj):

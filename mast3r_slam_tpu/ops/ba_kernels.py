@@ -75,7 +75,11 @@ def _gram_rays_kernel(rts_ref, mx_ref, my_ref, mz_ref, di_ref, cf_ref,
     tx, ty, tz = rts_ref[e, 9], rts_ref[e, 10], rts_ref[e, 11]
     mask = rts_ref[e, 12]
 
-    xj, yj, zj = xj_ref[0], yj_ref[0], zj_ref[0]  # (8, TNL) f32
+    # channels may be stored bf16 (meas_dtype) — widen once at load, all
+    # residual math in f32 (the Gram itself re-narrows to compute_dtype)
+    f32 = jnp.float32
+    xj, yj, zj = (xj_ref[0].astype(f32), yj_ref[0].astype(f32),
+                  zj_ref[0].astype(f32))           # (s, TNL)
     px = sR[0] * xj + sR[1] * yj + sR[2] * zj + tx
     py = sR[3] * xj + sR[4] * yj + sR[5] * zj + ty
     pz = sR[6] * xj + sR[7] * yj + sR[8] * zj + tz
@@ -84,8 +88,9 @@ def _gram_rays_kernel(rts_ref, mx_ref, my_ref, mz_ref, di_ref, cf_ref,
     dinv = 1.0 / d
     rx, ry, rz = px * dinv, py * dinv, pz * dinv
 
-    rho = [rx - mx_ref[0], ry - my_ref[0], rz - mz_ref[0], d - di_ref[0]]
-    conf = cf_ref[0] * mask
+    rho = [rx - mx_ref[0].astype(f32), ry - my_ref[0].astype(f32),
+           rz - mz_ref[0].astype(f32), d - di_ref[0].astype(f32)]
+    conf = cf_ref[0].astype(f32) * mask
     sqc = jnp.sqrt(conf)
 
     d_res = [
@@ -116,7 +121,9 @@ def _gram_calib_kernel(rts_ref, ui_ref, vi_ref, lz_ref, cf_ref,
     cx, cy = rts_ref[e, 15], rts_ref[e, 16]
     H_img, W_img = img_size
 
-    xj, yj, zj = xj_ref[0], yj_ref[0], zj_ref[0]
+    f32 = jnp.float32
+    xj, yj, zj = (xj_ref[0].astype(f32), yj_ref[0].astype(f32),
+                  zj_ref[0].astype(f32))
     px = sR[0] * xj + sR[1] * yj + sR[2] * zj + tx
     py = sR[3] * xj + sR[4] * yj + sR[5] * zj + ty
     pz = sR[6] * xj + sR[7] * yj + sR[8] * zj + tz
@@ -131,9 +138,9 @@ def _gram_calib_kernel(rts_ref, ui_ref, vi_ref, lz_ref, cf_ref,
         & (u > pixel_border) & (u < W_img - 1 - pixel_border)
         & (v > pixel_border) & (v < H_img - 1 - pixel_border)
     )
-    rho = [u - ui_ref[0], v - vi_ref[0],
-           jnp.where(valid_z, jnp.log(z_safe), 0.0) - lz_ref[0]]
-    conf = jnp.where(valid, cf_ref[0], 0.0) * mask
+    rho = [u - ui_ref[0].astype(f32), v - vi_ref[0].astype(f32),
+           jnp.where(valid_z, jnp.log(z_safe), 0.0) - lz_ref[0].astype(f32)]
+    conf = jnp.where(valid, cf_ref[0].astype(f32), 0.0) * mask
     sqc = jnp.sqrt(conf)
 
     zero = jnp.zeros_like(z_inv)
@@ -157,18 +164,27 @@ def _gram_calib_kernel(rts_ref, ui_ref, vi_ref, lz_ref, cf_ref,
     _accumulate(g_ref, rows, compute_dtype)
 
 
+def sublane_count(dtype) -> int:
+    """Native sublane tiling of the channel dtype: f32 tiles are (8, 128),
+    bf16 tiles (16, 128) — the split layout must match or every kernel load
+    pays a relayout."""
+    return 16 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) else 8
+
+
 def view_sublane_split(meas):
-    """``(E, N)`` channels → the kernel's ``(E, 8, N/8)`` layout. A REAL
-    relayout copy on TPU (tile assignment changes) — callers with a GN loop
-    must apply it ONCE outside the loop, not per iteration (the in-loop
-    reshape measured 8 x 4 ms copies per iteration)."""
-    return tuple(ch.reshape(ch.shape[0], 8, ch.shape[1] // 8) for ch in meas)
+    """``(E, N)`` channels → the kernel's ``(E, s, N/s)`` layout (s = native
+    sublane count of the dtype: 8 for f32, 16 for bf16). A REAL relayout
+    copy on TPU (tile assignment changes) — callers with a GN loop must
+    apply it ONCE outside the loop, not per iteration (the in-loop reshape
+    measured 8 x 4 ms copies per iteration)."""
+    s = sublane_count(meas[0].dtype)
+    return tuple(ch.reshape(ch.shape[0], s, ch.shape[1] // s) for ch in meas)
 
 
 def _run_gram(kernel, rts, meas, n_rows, interpret):
     if meas[0].ndim == 2:
         meas = view_sublane_split(meas)
-    E, _, M = meas[0].shape
+    E, s, M = meas[0].shape
     # Production pixel counts divide the 2048-lane tile; small test shapes
     # (and interpret-mode CPU runs) fall back to one whole-row tile.
     tnl = _TNL if M % _TNL == 0 else M
@@ -186,7 +202,7 @@ def _run_gram(kernel, rts, meas, n_rows, interpret):
                 pl.BlockSpec(rts.shape, lambda e, n: (0, 0),
                              memory_space=pltpu.SMEM),
             ] + [
-                pl.BlockSpec((1, 8, tnl), lambda e, n: (e, 0, n),
+                pl.BlockSpec((1, s, tnl), lambda e, n: (e, 0, n),
                              memory_space=pltpu.VMEM)
                 for _ in meas_v
             ],

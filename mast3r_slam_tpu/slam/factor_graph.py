@@ -194,7 +194,10 @@ def _edge_terms_rays(T_WC, ii, jj, meas, sigma_ray, sigma_dist):
     of keyframe i; residual compares unit rays + distances in frame i.
     Returns ``(rho, d_res, Xp, sw, adj_inv)`` for :func:`_edge_system_fused`.
     """
-    mx, my, mz, di, conf, xj, yj, zj = meas
+    # channels may be STORED bf16 (local_opt.meas_dtype — halves the cache
+    # and per-iteration read traffic); all residual math runs in f32
+    mx, my, mz, di, conf, xj, yj, zj = (
+        ch.astype(jnp.float32) for ch in meas)
     Ti = T_WC[ii]                                 # (E, 8)
     Tj = T_WC[jj]
     Tij = lie.compose(lie.inv(Ti), Tj)
@@ -267,7 +270,8 @@ def _edge_terms_calib(T_WC, ii, jj, meas, K, img_size, pixel_border,
                       z_eps, sigma_pixel, sigma_depth):
     """Calibrated pixel+logdepth residual channels (channels-first), given
     the precomputed measured channels from :func:`_premeas_calib`."""
-    ui, vi, logzi, conf, xj, yj, zj = meas
+    ui, vi, logzi, conf, xj, yj, zj = (
+        ch.astype(jnp.float32) for ch in meas)
     Ti = T_WC[ii]
     Tj = T_WC[jj]
     Tij = lie.compose(lie.inv(Ti), Tj)
@@ -451,7 +455,8 @@ def _use_pallas(meas):
     ch = meas[0]
     if ch.ndim == 3:
         return ch.shape[2] % ba_kernels._TNL == 0
-    return ch.shape[1] % (8 * ba_kernels._TNL) == 0
+    s = ba_kernels.sublane_count(ch.dtype)
+    return ch.shape[1] % (s * ba_kernels._TNL) == 0
 
 
 def _edge_blocks_from_gram(G, D, Ti):
@@ -824,9 +829,14 @@ class FactorGraph:
         # stack, the meas cache, and the per-iteration read volume shrink by
         # this factor. 1 = reference semantics (every pixel).
         self.pixel_step = int(self.cfg.get("pixel_step", 1))
+        # measured-channel STORAGE dtype (local_opt.meas_dtype): bfloat16
+        # halves the cache and per-GN-iteration read traffic; all residual
+        # math widens to f32 at load (kernel + XLA paths). float32 = strict.
+        self.meas_dtype = jnp.dtype(self.cfg.get("meas_dtype", "float32"))
         n_ba = n_pix // self.pixel_step
+        s_sub = ba_kernels.sublane_count(self.meas_dtype)
         self._split_layout = (ba_kernels.supports_pallas()
-                              and n_ba % (8 * ba_kernels._TNL) == 0)
+                              and n_ba % (s_sub * ba_kernels._TNL) == 0)
         self._meas_kind: str | None = None
         self._meas_ij: tuple | None = None        # dir i->j (gather side ii)
         self._meas_ji: tuple | None = None        # dir j->i (gather side jj)
@@ -1047,7 +1057,7 @@ class FactorGraph:
                 X, Cavg, g_kf, r_kf, idx, valid, Q, self.keyframes.w,
                 float(self.cfg["depth_eps"]), C_thresh, Q_thresh,
                 pixel_step=self.pixel_step)
-        meas = tuple(ch[:len(rows)] for ch in meas)
+        meas = tuple(ch[:len(rows)].astype(self.meas_dtype) for ch in meas)
         if self._split_layout:
             meas = ba_kernels.view_sublane_split(meas)
         return meas

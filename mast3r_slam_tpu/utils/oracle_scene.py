@@ -441,6 +441,10 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
             X_all, Cavg, jnp.asarray(ii), jnp.asarray(jj),
             jnp.asarray(idx_e), jnp.asarray(val_e), Q_e, 0.0, 1.5,
             pixel_step=int(mode.get("ba_pixel_step", 1)))
+        if mode.get("ba_meas_dtype") == "bfloat16":
+            # measured-channel storage quantization under study (the solve
+            # widens to f32; only the stored measurements are rounded)
+            meas = tuple(ch.astype(jnp.bfloat16) for ch in meas)
         T_out = FG.gauss_newton_rays(
             T_in, meas, jnp.asarray(ii), jnp.asarray(jj),
             jnp.asarray(mask_e), free, sigma_ray, sigma_dist, ba_iters, 1e-8)

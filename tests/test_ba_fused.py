@@ -246,3 +246,36 @@ def test_premeas_pixel_step_slices_channels():
                                   0.0, 0.5, pixel_step=2)
     for f, h in zip(fullc, halfc):
         np.testing.assert_array_equal(np.asarray(f)[:, ::2], np.asarray(h))
+
+
+def test_pallas_gram_rays_bf16_meas_matches_xla(monkeypatch):
+    """bf16-STORED measured channels (local_opt.meas_dtype): the kernel
+    widens at load, so it must agree with the XLA path fed the SAME bf16
+    channels — storage quantization is the only difference vs f32 (its ATE
+    cost is priced separately on the oracle: 1.02x)."""
+    monkeypatch.setattr(ba_kernels, "_TNL", 128)
+    T, X, Cavg, ii, jj, idx, valid, Q, mask = _random_edge_inputs(5, E=3,
+                                                                  N=2048)
+    meas = FG._premeas_rays(X, Cavg, ii, jj, idx, valid, Q, 0.5, 0.5)
+    meas16 = tuple(ch.astype(jnp.bfloat16) for ch in meas)
+    maskj = jnp.asarray(mask)
+
+    # split layout for bf16 uses 16 sublanes
+    split = ba_kernels.view_sublane_split(meas16)
+    assert split[0].shape[1] == 16
+
+    Ti, rts = FG._rel_pose_rows(T, ii, jj, maskj)
+    G = ba_kernels.gram_rays(rts, split, 0.003, 10.0, interpret=True)
+    H_p, g_p, _ = FG._edge_blocks_from_gram(G, 4, Ti)
+
+    rho, d_res, Xp, sw, adj_inv = FG._edge_terms_rays(T, ii, jj, meas16,
+                                                      0.003, 10.0)
+    H_x, g_x, _ = FG._edge_system_fused(rho, d_res, Xp,
+                                        _mask_weights(sw, rho, maskj),
+                                        adj_inv)
+    h_scale = float(jnp.max(jnp.abs(H_x))) + 1e-6
+    g_scale = float(jnp.max(jnp.abs(g_x))) + 1e-6
+    np.testing.assert_allclose(np.asarray(H_p) / h_scale,
+                               np.asarray(H_x) / h_scale, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(g_p) / g_scale,
+                               np.asarray(g_x) / g_scale, atol=2e-2)
