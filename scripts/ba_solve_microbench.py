@@ -131,9 +131,6 @@ def main():
             return out
         return amortized(s, jnp.zeros(()), H, g)
 
-    Hpd = Hs + jnp.einsum("af,bg->afbg",
-                          jnp.eye(cap + 1) * 10.0, jnp.eye(7)).reshape(
-        cap + 1, 7, cap + 1, 7) * 0  # keep shape; damping handles PD
     # make it solidly PD: add 10·I on the block diagonal
     eye_blocks = jnp.einsum("ab,fg->afbg", jnp.eye(cap + 1), jnp.eye(7))
     Hpd = Hs + 10.0 * eye_blocks

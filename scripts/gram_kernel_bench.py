@@ -197,8 +197,9 @@ def main():
     E, N = 128, 98304
     rng = np.random.default_rng(0)
     meas = tuple(
-        jnp.asarray(rng.normal(size=(E, N)).astype(np.float32) * 0.3 + 1.0,
-                    ).astype(jnp.bfloat16)
+        jnp.abs(jnp.asarray(
+            rng.normal(size=(E, N)).astype(np.float32) * 0.3 + 1.0)
+        ).astype(jnp.bfloat16)
         for _ in range(8))
     meas = BK.view_sublane_split(meas)
     T = jax.vmap(lie.exp)(jnp.asarray(
@@ -246,7 +247,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys_entry
+    if "--r2" not in _sys_entry.argv:
+        main()
 
 
 # ---- round-2 variants: lane-tile sweep + 2-contracting-dim dot -------------
@@ -322,6 +325,10 @@ def main2():
         return jnp.sum(o[:, :7, :7])
 
     def v0_tnl(r, tnl, rts, *meas):
+        # NOTE: mutates the module global BK._TNL inside a jitted trace.
+        # Correct here only because each scan_n(n) closure below retraces
+        # exactly once per tnl value; a cached trace would silently time
+        # the wrong tile size if amortized()/jit caching ever changes.
         old = BK._TNL
         BK._TNL = tnl
         try:
@@ -331,7 +338,6 @@ def main2():
         return jnp.sum(G[:, :7, :7])
 
     for tnl in (1024, 2048, 3072, 6144):
-        fn = functools.partial(v0_tnl, tnl=tnl)
         def vv(r, rts, *meas, _t=tnl):
             return v0_tnl(r, _t, rts, *meas)
         print(f"v0 tnl={_fmt(tnl)}: {amortized(vv, rts, *meas):8.3f} ms")
