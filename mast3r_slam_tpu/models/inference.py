@@ -312,7 +312,7 @@ def _mono_core(params, cfg, img, img_hw, ds=1):
     """Fused mono inference: encode + self-pair decode + head1."""
     feat, pos = M.encode_image(params, cfg, img)
     d1, _ = M.decode_pair(params, cfg, feat, pos, feat, pos)
-    res1 = M.downstream_head(params["head1"], cfg, d1, img_hw)
+    res1 = M.downstream_head(M.head_params(params, 0), cfg, d1, img_hw)
     pts = _decimate(res1["pts3d"], ds, h_axis=1)
     conf = _decimate(res1["conf"], ds, h_axis=1)
     b, h, w, _ = pts.shape

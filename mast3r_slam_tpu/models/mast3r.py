@@ -135,18 +135,59 @@ def attention(q, k, v):
     (backend keyframe pairs), plain XLA softmax attention otherwise.
 
     Measured on v5e at 768 tokens: flash is 5x faster standalone at b*h=32,
-    but at the tracker's b=1 the per-call overhead of ~48 kernel launches per
-    frame outweighs it — XLA's fused attention wins inside the big frame
-    program. The b*h >= 32 gate (the measured crossover) routes each regime
-    to its winner; small backend pair batches (e.g. b*h=48) now take the
-    fast path."""
+    but at the tracker's b=1 the 128-blocked flash grid (b·h × nq/128 tiny
+    sequential steps) loses to per-step overhead — XLA attention won there
+    until round 5. The small-batch regime now takes a SINGLE-BLOCK variant
+    (block_q=nq, block_k=nk → one grid step per head, the whole 768-token
+    softmax in VMEM, exact math): it removes the f32 logits HBM round-trip
+    that made the XLA path bandwidth-bound (~6.7 ms/frame of materialized
+    (bh, 768, 768) logits traffic) while amortizing kernel overhead over one
+    big step per head. The b*h >= 32 regime keeps the measured-good 128-block
+    config. VMEM bound for the single-block path: s (nq, nk) f32 must fit,
+    so it is gated at nq*nk <= 1024*1024 (SLAM shapes are 768x768)."""
     from mast3r_slam_tpu.ops import flash_attention as FA
 
     b, h, nq, _ = q.shape
     nk = k.shape[2]
-    if (FA.supports_pallas() and b * h >= _flash_min_bh()
-            and nq % 128 == 0 and nk % 128 == 0):
+    if not (FA.supports_pallas() and nq % 128 == 0 and nk % 128 == 0):
+        return FA.attention_reference(q, k, v)
+    if b * h >= _flash_min_bh():
         return FA.flash_attention(q, k, v)
+    if _flash_single_block() and nq * nk <= 1024 * 1024:
+        return FA.flash_attention(q, k, v, block_q=nq, block_k=nk)
+    return FA.attention_reference(q, k, v)
+
+
+def attention_rope(q, k, v, qpos, kpos, rope_base):
+    """RoPE + attention, fused when the Pallas path is taken.
+
+    ``q/k/v (B, H, N, D)`` UN-rotated; ``qpos/kpos (B, N, 2)``. On the
+    kernel paths the rotation happens in VMEM against shared cos/sin tables
+    (one table set per resolution, CSE'd across the frame program) —
+    removing ~2 ms/frame of un-fusable rotated-q/k HBM materialization
+    (round-5 trace). The XLA fallback applies :func:`rope_2d` as before and
+    lets XLA fuse it into the attention einsums."""
+    from mast3r_slam_tpu.ops import flash_attention as FA
+
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    kernel_ok = FA.supports_pallas() and nq % 128 == 0 and nk % 128 == 0
+    if kernel_ok and (b * h >= _flash_min_bh()
+                      or (_flash_single_block()
+                          and nq * nk <= 1024 * 1024)):
+        cos_q, sin_q = FA.rope_tables(qpos, d, rope_base)
+        if kpos is qpos:
+            cos_k, sin_k = cos_q, sin_q
+        else:
+            cos_k, sin_k = FA.rope_tables(kpos, d, rope_base)
+        if b * h >= _flash_min_bh():
+            bq, bk = 128, 128
+        else:
+            bq, bk = nq, nk
+        return FA.flash_attention_rope(q, k, v, cos_q, sin_q, cos_k, sin_k,
+                                       h, block_q=bq, block_k=bk)
+    q = rope_2d(q, qpos, rope_base)
+    k = rope_2d(k, kpos, rope_base)
     return FA.attention_reference(q, k, v)
 
 
@@ -157,15 +198,20 @@ def _flash_min_bh():
     return int(os.environ.get("MAST3R_TPU_FLASH_MIN_BH", "32"))
 
 
+def _flash_single_block():
+    """Single-block flash path for the small-batch regime (A/B toggle)."""
+    import os
+
+    return os.environ.get("MAST3R_TPU_FLASH_SINGLE", "1") == "1"
+
+
 def self_attn(p, x, pos, n_heads, rope_base):
     qkv = L.linear(p["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = _split_heads(q, n_heads)
     k = _split_heads(k, n_heads)
     v = _split_heads(v, n_heads)
-    q = rope_2d(q, pos, rope_base)
-    k = rope_2d(k, pos, rope_base)
-    out = _merge_heads(attention(q, k, v))
+    out = _merge_heads(attention_rope(q, k, v, pos, pos, rope_base))
     return L.linear(p["proj"], out)
 
 
@@ -173,9 +219,7 @@ def cross_attn(p, x, mem, xpos, mpos, n_heads, rope_base):
     q = _split_heads(L.linear(p["q"], x), n_heads)
     k = _split_heads(L.linear(p["k"], mem), n_heads)
     v = _split_heads(L.linear(p["v"], mem), n_heads)
-    q = rope_2d(q, xpos, rope_base)
-    k = rope_2d(k, mpos, rope_base)
-    out = _merge_heads(attention(q, k, v))
+    out = _merge_heads(attention_rope(q, k, v, xpos, mpos, rope_base))
     return L.linear(p["proj"], out)
 
 
@@ -198,8 +242,15 @@ def encoder_block(p, x, pos, n_heads, rope_base):
 # bit-for-bit — pinned by tests/test_model.py.
 
 def _linear_s(p, x):
-    """Per-stream linear: ``x (2, B, N, C)``, ``w (2, C, D)``."""
-    y = jnp.einsum("sbnc,scd->sbnd", x, p["w"].astype(x.dtype))
+    """Per-stream linear: ``x (2, B, N, C)``, ``w (2, C, D)``.
+
+    Unrolled into two flat matmuls rather than one batched einsum
+    ("sbnc,scd->sbnd"): XLA's batched matmul ran the decoder's linears at
+    ~28% MXU (3.1 ms/frame, round-5 trace) while the identical flat matmuls
+    reach the plain-linear efficiency. Bit-identical — batch entries of a
+    batched matmul are independent."""
+    w = p["w"].astype(x.dtype)
+    y = jnp.stack([x[0] @ w[0], x[1] @ w[1]])
     if "b" in p:
         y = y + p["b"][:, None, None, :].astype(x.dtype)
     return y
@@ -218,30 +269,34 @@ def _mlp_s(p, x):
     return _linear_s(p["fc2"], L.gelu(_linear_s(p["fc1"], x)))
 
 
-def _attn_heads_s(x, pos, n_heads, rope_base):
-    """(2, B, N, D) → RoPE'd (2B, H, N, Dh) head layout."""
+def _heads_s(x, n_heads):
+    """(2, B, N, D) → (2B, H, N, Dh) head layout (un-rotated)."""
     s, b, n, d = x.shape
-    q = _split_heads(x.reshape(s * b, n, d), n_heads)
-    return rope_2d(q, pos.reshape(s * b, n, 2), rope_base)
+    return _split_heads(x.reshape(s * b, n, d), n_heads)
 
 
 def self_attn_s(p, x, pos, n_heads, rope_base):
     s, b, n, d = x.shape
     qkv = _linear_s(p["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = _attn_heads_s(q, pos, n_heads, rope_base)
-    k = _attn_heads_s(k, pos, n_heads, rope_base)
-    v = _split_heads(v.reshape(s * b, n, d), n_heads)
-    out = _merge_heads(attention(q, k, v)).reshape(s, b, n, d)
+    q = _heads_s(q, n_heads)
+    k = _heads_s(k, n_heads)
+    v = _heads_s(v, n_heads)
+    pos_f = pos.reshape(s * b, n, 2)
+    out = _merge_heads(
+        attention_rope(q, k, v, pos_f, pos_f, rope_base)).reshape(s, b, n, d)
     return _linear_s(p["proj"], out)
 
 
 def cross_attn_s(p, x, mem, xpos, mpos, n_heads, rope_base):
     s, b, n, d = x.shape
-    q = _attn_heads_s(_linear_s(p["q"], x), xpos, n_heads, rope_base)
-    k = _attn_heads_s(_linear_s(p["k"], mem), mpos, n_heads, rope_base)
-    v = _split_heads(_linear_s(p["v"], mem).reshape(s * b, n, d), n_heads)
-    out = _merge_heads(attention(q, k, v)).reshape(s, b, n, d)
+    q = _heads_s(_linear_s(p["q"], x), n_heads)
+    k = _heads_s(_linear_s(p["k"], mem), n_heads)
+    v = _heads_s(_linear_s(p["v"], mem), n_heads)
+    out = _merge_heads(
+        attention_rope(q, k, v, xpos.reshape(s * b, n, 2),
+                       mpos.reshape(s * b, n, 2), rope_base)
+    ).reshape(s, b, n, d)
     return _linear_s(p["proj"], out)
 
 
@@ -267,15 +322,28 @@ def stack_decoder_params(params):
 
 def prepare_params(params, cfg: MASt3RConfig):
     """Load-time parameter prep: compute-dtype weight cast + stacked
-    dual-decoder views. Returns a NEW dict; the original stays checkpoint-
-    shaped. ``dec_stacked`` routes :func:`decode_pair` to the batched
-    two-stream chain; the per-stream block lists are DROPPED from the
-    prepared dict (decode_pair never reads them once stacked — keeping both
-    would hold ~450 MB of duplicate decoder weights in HBM)."""
+    dual-decoder views. Returns a NEW dict; the original stays
+    checkpoint-shaped. ``dec_stacked`` routes :func:`decode_pair` to the
+    batched two-stream chain; the per-stream ``dec_blocks``/``dec_blocks2``
+    subtrees are DROPPED from the prepared dict (keeping both would hold
+    ~450 MB of duplicate decoder weights in HBM). Heads are NOT stacked —
+    see the A/B note below."""
     p = cast_params_for_compute(params, cfg)
     p["dec_stacked"] = stack_decoder_params(p)
     del p["dec_blocks"], p["dec_blocks2"]
+    # NOTE round-5 A/B: stacking head1/head2 the same way and vmapping the
+    # DPT+catMLP pass REGRESSED (device 34.4 → 44.1 ms/frame): XLA lowers
+    # the batched-weight convs to batch_group_count=2 grouped convs whose
+    # output layout forces a materialized transpose on every bias add
+    # (10.4 ms of copies). The heads stay per-head sequential.
     return p
+
+
+def head_params(params, which):
+    """Per-head parameter tree. ``which``: 0 = head1 (view-1 / self),
+    1 = head2. Only the mono-inference INIT/RELOC path uses this — the
+    per-frame paths go through :func:`downstream_heads`."""
+    return params["head1" if which == 0 else "head2"]
 
 
 def decoder_block(p, x, mem, xpos, mpos, n_heads, rope_base):
@@ -366,6 +434,14 @@ def _init_dpt(key, cfg: MASt3RConfig, num_channels: int):
     p["head_c1"] = L.init_conv(next(ks), 3, 3, fd, fd // 2)
     p["head_c2"] = L.init_conv(next(ks), 3, 3, fd // 2, cfg.dpt_last_dim)
     p["head_c3"] = L.init_conv(next(ks), 1, 1, cfg.dpt_last_dim, num_channels)
+    # Random-init runs only (real weights come from models/convert.py):
+    # damp the regression output so postprocess()'s expm1(|xyz|) yields
+    # O(1) pointmaps instead of exploding (a unit-variance final conv puts
+    # |xyz| at ~5-20, i.e. pts3d up to ~1e8, which overflows the Sim(3)
+    # tracking solve in f32 and sends every smoke/dryrun frame to RELOC).
+    # Bounded-but-varying geometry keeps the initial GN system full-rank
+    # for ANY seed.
+    p["head_c3"]["w"] = p["head_c3"]["w"] * 0.05
     return p
 
 
@@ -402,6 +478,11 @@ def init_params(key, cfg: MASt3RConfig):
         # local-features MLP output layer has a distinct out dim
         k_out = next(ks)
         params[h]["local_feat"]["fc2"] = L.init_linear(k_out, 4 * idim, out_feats)
+        # same random-init damping as _init_dpt's head_c3: desc_conf is
+        # exp(x), so an O(10) random logit means Q weights of ~1e4..1e17
+        # that overflow the f32 tracking/matching solves in smoke runs
+        params[h]["local_feat"]["fc2"]["w"] = (
+            params[h]["local_feat"]["fc2"]["w"] * 0.05)
     return params
 
 
@@ -586,10 +667,13 @@ def downstream_head(p, cfg: MASt3RConfig, dec_out, img_hw):
     raw = dpt_head(p["dpt"], dec_h, img_hw, ps).astype(jnp.float32)
 
     cat = jnp.concatenate([dec_h[0], dec_h[-1]], axis=-1)
-    local = L.mlp(p["local_feat"], cat).astype(jnp.float32)  # (B, N, (D+1)*ps²)
+    local = L.mlp(p["local_feat"], cat)  # (B, N, (D+1)*ps²), head dtype
     b, n, _ = local.shape
     local = local.reshape(b, H // ps, W // ps, -1)
-    local = L.pixel_shuffle(local, ps)  # (B, H, W, D+two_confs)
+    # shuffle in the head dtype, cast after: the cast commutes exactly with
+    # reshape/transpose, and the full-res (B, H, W, 25) transpose copy is the
+    # head's hottest non-MXU op — half traffic in bf16 mode (bit-identical)
+    local = L.pixel_shuffle(local, ps).astype(jnp.float32)
 
     out = jnp.concatenate([raw, local], axis=-1)
     return postprocess(out, cfg.desc_dim, cfg.two_confs)
@@ -614,6 +698,16 @@ def postprocess(fmap, desc_dim, two_confs):
     return {"pts3d": pts3d, "conf": conf, "desc": desc, "desc_conf": desc_conf}
 
 
+def downstream_heads(params, cfg: MASt3RConfig, d1, d2, img_hw):
+    """Both per-view heads for a decoded pair → (res1, res2).
+
+    Kept sequential on purpose: a vmapped stacked-weight variant was A/B'd
+    in round 5 and lost (see prepare_params) — XLA's grouped-conv lowering
+    costs more in layout copies than the 2x-batched MXU work saves."""
+    return (downstream_head(params["head1"], cfg, d1, img_hw),
+            downstream_head(params["head2"], cfg, d2, img_hw))
+
+
 # ---------------------------------------------------------------------------
 # Two-view inference APIs (functional equivalents of mast3r_utils.py wrappers)
 # ---------------------------------------------------------------------------
@@ -622,9 +716,7 @@ def postprocess(fmap, desc_dim, two_confs):
 def decode_heads(params, cfg: MASt3RConfig, feat1, pos1, feat2, pos2, img_hw):
     """Decoder + both heads for an (i, j) feature pair → (res1, res2)."""
     d1, d2 = decode_pair(params, cfg, feat1, pos1, feat2, pos2)
-    res1 = downstream_head(params["head1"], cfg, d1, img_hw)
-    res2 = downstream_head(params["head2"], cfg, d2, img_hw)
-    return res1, res2
+    return downstream_heads(params, cfg, d1, d2, img_hw)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -308,8 +308,7 @@ def track_core(params, mcfg, img, feat_k, pos_k, idx_init, X_k, C_k, N_k,
     ds = mh[0] // H
     feat_f, pos_f = M.encode_image(params, mcfg, img)
     d1, d2 = M.decode_pair(params, mcfg, feat_f, pos_f, feat_k, pos_k)
-    res_ff = M.downstream_head(params["head1"], mcfg, d1, mh)
-    res_kf = M.downstream_head(params["head2"], mcfg, d2, mh)
+    res_ff, res_kf = M.downstream_heads(params, mcfg, d1, d2, mh)
     res_ff = {k: _decimate(v, ds, h_axis=1) for k, v in res_ff.items()}
     res_kf = {k: _decimate(v, ds, h_axis=1) for k, v in res_kf.items()}
     Xff = res_ff["pts3d"].reshape(1, n, 3)

@@ -75,8 +75,7 @@ def main():
         d1, d2 = M.decode_pair(params, cfg, feat_f, pos_f, feat_k, pos_k)
         if mode == "decode":
             return (d1[-1], d2[-1])
-        res_ff = M.downstream_head(params["head1"], cfg, d1, (H, W))
-        res_kf = M.downstream_head(params["head2"], cfg, d2, (H, W))
+        res_ff, res_kf = M.downstream_heads(params, cfg, d1, d2, (H, W))
         if mode == "model":
             return (res_ff["pts3d"], res_kf["desc"])
         Xff = X_scene + 1e-4 * jnp.tanh(res_ff["pts3d"])

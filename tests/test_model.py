@@ -260,6 +260,41 @@ def test_stacked_decoder_matches_sequential():
                 err_msg=f"hook {i} dtype {dtype}")
 
 
+def test_downstream_heads_dispatch_bit_exact():
+    """downstream_heads (the shared call-site helper) must be bit-exact vs
+    the two direct per-head passes, on both checkpoint-shaped and prepared
+    params, and head_params must slice identically. (A vmapped stacked-head
+    variant was A/B'd in round 5 and REJECTED on TPU perf — XLA lowers the
+    batched-weight convs to grouped convs whose output layout forces a
+    10 ms/frame transpose; see models/mast3r.py prepare_params — so all
+    paths here are the same sequential math.)"""
+    import numpy as np
+
+    cfg = M.tiny_config()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    H, W = 32, 48
+    img1 = jax.random.uniform(jax.random.PRNGKey(3), (1, H, W, 3),
+                              jnp.float32, -1, 1)
+    img2 = jnp.roll(img1, 4, axis=2)
+    f1, p1 = M.encode_image(params, cfg, img1)
+    f2, p2 = M.encode_image(params, cfg, img2)
+    d1, d2 = M.decode_pair(params, cfg, f1, p1, f2, p2)
+
+    r1a = M.downstream_head(params["head1"], cfg, d1, (H, W))
+    r2a = M.downstream_head(params["head2"], cfg, d2, (H, W))
+    prepped = M.prepare_params(params, cfg)
+    for src in (params, prepped):
+        r1b, r2b = M.downstream_heads(src, cfg, d1, d2, (H, W))
+        for a, b in ((r1a, r1b), (r2a, r2b)):
+            for k in a:
+                np.testing.assert_array_equal(
+                    np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+    rm = M.downstream_head(M.head_params(prepped, 0), cfg, d1, (H, W))
+    for k in r1a:
+        np.testing.assert_array_equal(np.asarray(r1a[k]), np.asarray(rm[k]),
+                                      err_msg=k)
+
+
 def test_cast_params_for_compute_is_numerics_neutral():
     """cast_params_for_compute pre-casts matmul/conv weights to the compute
     dtype at LOAD time; linear/conv cast per-use anyway, so a bf16-trunk
