@@ -73,6 +73,12 @@ class AsynchronousQualityService:
             self._started = True
         return self
 
+    def is_alive(self):
+        """Worker-thread health gate (mirrors TSDFRefiner.is_alive; the TSDF
+        scheduler only defers on a pending quality result while the worker
+        can still deliver one)."""
+        return self._started and self._worker.is_alive()
+
     def submit(self, job: dict) -> bool:
         """Enqueue a quality job; drops (returns False) when the queue is full."""
         if not self._started:

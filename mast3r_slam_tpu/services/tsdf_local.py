@@ -438,6 +438,7 @@ class TSDFRefiner:
         self.max_retries = int(c.get("max_retries", 3))
         self.retry_backoff_s = float(c.get("retry_backoff_s", 2.0))
         self.max_pending = int(c.get("max_pending_tasks", 50))
+        self.quality_wait_s = float(c.get("quality_wait_ms", 500)) / 1e3
 
         self.registry = RefineRegistry(float(c.get("cooldown_s", 5.0)))
         self.task_q: queue.Queue = queue.Queue(maxsize=self.max_pending)
@@ -449,6 +450,7 @@ class TSDFRefiner:
         }
         self._retry: dict[int, tuple] = {}       # kf_id → (due_time, attempts)
         self._retry_counts: dict[int, int] = {}  # kf_id → failures so far
+        self._quality_waits: dict[int, float] = {}  # kf_id → seconds deferred
         self._worker = threading.Thread(target=self.run, daemon=True,
                                         name="tsdf-refine")
         self._started = False
@@ -493,14 +495,24 @@ class TSDFRefiner:
     def schedule_final_pass(self, last_kf: int):
         self.maybe_schedule_sliding_window(last_kf, is_final_pass=True)
 
-    def _patch_priority(self, kf_id: int, gh: int, gw: int):
+    def _patch_priority(self, kf_id: int, gh: int, gw: int,
+                        allow_pending=True):
         """Quality priorities, or confidence-fallback heuristic
         ``0.3 - C`` on low-confidence patches (reference
-        tsdf_refine.py:367-396)."""
+        tsdf_refine.py:367-396). Returns ``None`` when the quality result
+        is not in yet and deferring is allowed — the scheduler then retries
+        within ``quality_wait_ms`` (the reference waits on the quality
+        event before block selection, tsdf_refine.py:348-400; without the
+        wait, short runs schedule from the fallback heuristic only, which
+        never fires on model confidences ≥ 1)."""
         if self.quality is not None:
             res = self.quality.get_by_kf_id(kf_id)
             if res is not None and res["priority"].shape == (gh, gw):
                 return np.asarray(res["priority"], np.float32)
+            if (res is None and allow_pending and self.quality.is_alive()
+                    and self._quality_waits.get(kf_id, 0.0)
+                    < self.quality_wait_s):
+                return None
         with self.keyframes.lock:
             C = np.asarray(self.keyframes.C[kf_id][:, 0])
             n = max(int(self.keyframes.N[kf_id]), 1)
@@ -519,6 +531,16 @@ class TSDFRefiner:
         ps = int(getattr(self.quality, "ps", 16)) if self.quality else 16
         gh, gw = h // ps, w // ps
         pri = self._patch_priority(kf_id, gh, gw)
+        if pri is None:
+            # quality result pending: defer via the retry pump, bounded by
+            # quality_wait_ms total per keyframe
+            step = max(0.05, self.quality_wait_s / 4.0)
+            self._quality_waits[kf_id] = (
+                self._quality_waits.get(kf_id, 0.0) + step)
+            if kf_id not in self._retry:
+                self._retry[kf_id] = (time.monotonic() + step,
+                                      self._retry_counts.get(kf_id, 0))
+            return
         blocks = self._select_blocks(kf_id, pri, gh, gw, ps, h, w)
         for blk in blocks[: self.max_rois]:
             key = (kf_id, tuple(sorted(blk.patch_ids))[:4])
@@ -811,7 +833,11 @@ class TSDFRefiner:
         last_progress = t0
         last_done = self.stats["refined_blocks"] + self.stats["rejected_blocks"]
         while time.monotonic() - t0 < max_wait_s:
-            if self.task_q.empty() and time.monotonic() - t0 > min_wait_s:
+            # _retry holds quality-deferred keyframes too (scheduled before
+            # their quality result landed) — an empty task queue with
+            # pending deferrals is NOT drained yet
+            if (self.task_q.empty() and not self._retry
+                    and time.monotonic() - t0 > min_wait_s):
                 break
             done = self.stats["refined_blocks"] + self.stats["rejected_blocks"]
             if done > last_done:
