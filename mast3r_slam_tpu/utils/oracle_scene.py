@@ -428,14 +428,25 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
         # before the calib solve (global_opt.py:145-150)
         X_all = jax.vmap(
             lambda X: geometry.constrain_points_to_ray(hw, X, Kj))(X_all)
+    # ``ba_delta_norm``: the BA early-exit threshold on an ACCEPTED step's
+    # ‖dx‖ (reference exits at delta_norm=1e-8, i.e. effectively never inside
+    # max_iters=10 — gn_kernels.cu:1217-1222). A larger threshold trades BA
+    # iterations for trajectory error; price it here before shipping.
+    ba_delta = float(mode.get("ba_delta_norm", 1e-8))
+    # ``ba_compute_dtype``: Gram/system accumulation dtype of the BA solve
+    # (production bfloat16, eval configs pin float32 — config/base.yaml)
+    ba_cdt = str(mode.get("ba_compute_dtype", "bfloat16"))
+    if use_calib:
         meas = FG.precompute_meas_calib(
             X_all, Cavg, jnp.asarray(ii), jnp.asarray(jj),
             jnp.asarray(idx_e), jnp.asarray(val_e), Q_e, W, 1e-6, 0.0, 1.5,
             pixel_step=int(mode.get("ba_pixel_step", 1)))
+        if mode.get("ba_meas_dtype") == "bfloat16":
+            meas = tuple(ch.astype(jnp.bfloat16) for ch in meas)
         T_out = FG.gauss_newton_calib(
             T_in, meas, Kj, jnp.asarray(ii), jnp.asarray(jj),
             jnp.asarray(mask_e), free, hw, -10, 1e-6, sigma_pixel,
-            sigma_depth, ba_iters, 1e-8)
+            sigma_depth, ba_iters, ba_delta, compute_dtype=ba_cdt)
     else:
         meas = FG.precompute_meas_rays(
             X_all, Cavg, jnp.asarray(ii), jnp.asarray(jj),
@@ -447,7 +458,8 @@ def run_oracle_slam(scene, poses, hw, mode, noise_seed=0, kf_every=4,
             meas = tuple(ch.astype(jnp.bfloat16) for ch in meas)
         T_out = FG.gauss_newton_rays(
             T_in, meas, jnp.asarray(ii), jnp.asarray(jj),
-            jnp.asarray(mask_e), free, sigma_ray, sigma_dist, ba_iters, 1e-8)
+            jnp.asarray(mask_e), free, sigma_ray, sigma_dist, ba_iters,
+            ba_delta, compute_dtype=ba_cdt)
     T_out = np.asarray(T_out)
 
     gt_kf = [poses[f] for f in kf_ids]

@@ -43,9 +43,18 @@ from mast3r_slam_tpu.utils.oracle_scene import (OracleScene, make_trajectory,
 
 MODES = {
     "strict (joint, ladder 5..1, no plateau exit)": dict(
-        refine_mode="joint", level_step=1, plateau_frac=0.0),
+        refine_mode="joint", level_step=1, plateau_frac=0.0,
+        ba_pixel_step=1, ba_compute_dtype="float32", ba_delta_norm=1e-8),
     "production (plus, ladder 5,3,1, plateau 1e-3)": dict(
         refine_mode="plus", level_step=2, plateau_frac=0.001),
+    # EXACTLY what config/base.yaml ships — matcher cuts AND BA cuts jointly
+    # (pixel_step 2, bf16 meas storage, bf16 Gram, delta_norm 1e-2 exit);
+    # see scripts/ba_delta_study.py for the delta_norm ladder
+    "production-defaults (all cuts, base.yaml)": dict(
+        refine_mode="plus", level_step=2, plateau_frac=0.001,
+        radius=2, proj_step=2, track_dilation_max=1,
+        ba_pixel_step=2, ba_meas_dtype="bfloat16",
+        ba_compute_dtype="bfloat16", ba_delta_norm=1e-2),
     "separable (ablation)": dict(
         refine_mode="separable", level_step=2, plateau_frac=0.001),
 }

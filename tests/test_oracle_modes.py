@@ -20,13 +20,20 @@ from mast3r_slam_tpu.utils.oracle_scene import (OracleScene, make_trajectory,
 HW = (32, 48)
 N_FRAMES = 16
 
-STRICT = dict(refine_mode="joint", level_step=1, plateau_frac=0.0)
-# FAST mirrors the FULL production deviation set (config/base.yaml
-# matching.*): plus-mode refine, level_step 2, plateau exit, radius 2,
-# decimated LM projection (proj_step 2), tracker-only single-level ladder.
-# Oracle study (scripts/matcher_cut_sweep.py, round 4): combo = 0.84x strict.
+STRICT = dict(refine_mode="joint", level_step=1, plateau_frac=0.0,
+              ba_pixel_step=1, ba_compute_dtype="float32",
+              ba_delta_norm=1e-8)
+# FAST mirrors the FULL production deviation set (config/base.yaml) —
+# matcher cuts (plus-mode refine, level_step 2, plateau exit, radius 2,
+# proj_step 2, tracker-only single-level ladder) AND the BA cuts
+# (pixel_step 2, bf16 measured-channel storage, bf16 Gram compute,
+# delta_norm 1e-2 early exit) — priced JOINTLY: scripts/ba_delta_study.py
+# (round 5) measured the full stack at 0.85x strict ATE (matcher-only
+# combo was 0.84x in round 4; the BA cuts cost nothing on top).
 FAST = dict(refine_mode="plus", level_step=2, plateau_frac=0.001,
-            radius=2, proj_step=2, track_dilation_max=1)
+            radius=2, proj_step=2, track_dilation_max=1,
+            ba_pixel_step=2, ba_meas_dtype="bfloat16",
+            ba_compute_dtype="bfloat16", ba_delta_norm=1e-2)
 
 
 def test_raycast_is_exact_and_consistent():
