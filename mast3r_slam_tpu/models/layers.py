@@ -81,19 +81,34 @@ def mlp(p, x):
     return linear(p["fc2"], gelu(linear(p["fc1"], x)))
 
 
+def _conv3x3_pallas_enabled():
+    import os
+
+    return os.environ.get("MAST3R_TPU_CONV3X3", "1") == "1"
+
+
 def conv2d(p, x, stride=1, padding="SAME"):
     """NHWC conv with HWIO weights.
 
     Stride-1 1x1 convs lower to a plain (H·W, Cin) x (Cin, Cout) matmul
-    (bit-identical; avoids lax.conv's layout choice). 3x3 convs stay on
-    ``lax.conv``: a shifted-matmul lowering is 4x faster ISOLATED but
-    in-program the pad + 9 slice materializations cost more than the conv's
-    layout inefficiency saves (model-stage device time 19.1 → 25.7 ms when
-    tried — measured round 4, docs/PERFORMANCE.md).
+    (bit-identical; avoids lax.conv's layout choice). Lane-aligned stride-1
+    3x3 SAME convs take the Pallas stencil kernel (ops/conv3x3.py): one HBM
+    pad, halo tiles in VMEM, 9 accumulated MXU dots — vs ``lax.conv``'s
+    ~19% MXU lowering (round-4 trace). An XLA shifted-matmul lowering was
+    tried and rejected round 4 (9 in-program pad+slice materializations,
+    model stage 19.1 → 25.7 ms); the kernel keeps those shifts in VMEM.
+    Other shapes stay on ``lax.conv``.
     """
     if isinstance(stride, int):
         stride = (stride, stride)
     kh, kw, cin, cout = p["w"].shape
+    if (kh, kw) == (3, 3) and _conv3x3_pallas_enabled():
+        from mast3r_slam_tpu.ops import conv3x3 as C3
+
+        if C3.supports_pallas() and C3.conv3x3_qualifies(
+                x.shape, p["w"].shape, stride, padding,
+                itemsize=x.dtype.itemsize):
+            return C3.conv3x3(x, p["w"], p.get("b"))
     if stride == (1, 1) and (kh, kw) == (1, 1):
         b, h, w, _ = x.shape
         acc = lax.dot_general(
